@@ -1,0 +1,20 @@
+"""Test configuration: force an 8-device virtual CPU backend.
+
+Multi-chip behavior (mesh sharding, psum grad reduction, replicated-state
+invariants) is tested on virtual CPU devices, the JAX idiom for testing
+SPMD code without hardware (`--xla_force_host_platform_device_count`).
+Must run before jax initializes its backends.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
