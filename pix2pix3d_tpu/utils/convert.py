@@ -63,7 +63,10 @@ def convert_state_dict(state_dict, params_template):
         v = sd[name]
         target_shape = tuple(leaf.shape)
 
-        if v.ndim == 4:
+        if path[-1] in ("w_avg", "noise_const"):
+            pass  # buffers keep their reference layout (w_avg may be 2D,
+                  # noise_const is a square [H, W] map — do NOT transpose)
+        elif v.ndim == 4:
             v = np.transpose(v, (2, 3, 1, 0))
         elif v.ndim == 3:
             v = np.transpose(v, (1, 2, 0))
