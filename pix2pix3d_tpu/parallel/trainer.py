@@ -1,0 +1,246 @@
+"""SPMD data-parallel trainer over a jax.sharding.Mesh.
+
+TPU-native replacement for the reference's process-per-GPU NCCL setup
+(`train.py:33-113`, `training_loop.py:349-542`):
+
+- one process, one `Mesh` with a `data` axis; `shard_map` runs the per-device
+  step; `psum` replaces the flat-grad `all_reduce` (`training_loop.py:536`)
+- params/optimizer states are replicated (no rank-0 broadcast needed: init is
+  computed once and placed replicated)
+- the whole training iteration — all six phases (Gmain, Greg, Dmain, Dreg,
+  D_semantic-main, D_semantic-reg), optimizer updates, w_avg update, EMA —
+  is ONE jitted program per phase-combination (4 combos from the two reg
+  intervals), so XLA fuses and overlaps everything including the collectives
+- training statistics ride the same program as [count, sum, sumsq] moments,
+  psum'd over the mesh (replaces `training_stats._sync`)
+
+Lazy regularization follows `training_loop.py:359-373`: shared Adam per
+module with lr and betas scaled by `r/(r+1)`; reg phases run every
+`reg_interval` steps with loss gain = interval.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..train.ema import ema_update, copy_buffers
+from ..train.loss import Pix2Pix3DLoss
+
+
+def make_mesh(devices=None, axis="data"):
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def _nan_to_num(tree):
+    """ref `training_loop.py:538`: nan->0, +-inf->+-1e5 on the grads."""
+    return jax.tree_util.tree_map(
+        lambda g: jnp.nan_to_num(g, nan=0.0, posinf=1e5, neginf=-1e5), tree)
+
+
+def _lazy_adam(lr, betas, eps, reg_interval):
+    """Adam with lazy-regularization scaling (ref `training_loop.py:366-372`)."""
+    if reg_interval is None:
+        mb_ratio = 1.0
+    else:
+        mb_ratio = reg_interval / (reg_interval + 1)
+    return optax.adam(learning_rate=lr * mb_ratio,
+                      b1=betas[0] ** mb_ratio,
+                      b2=betas[1] ** mb_ratio,
+                      eps=eps)
+
+
+class Trainer:
+    def __init__(self, loss: Pix2Pix3DLoss, *, g_lr=0.0025, d_lr=0.002,
+                 betas=(0.0, 0.99), eps=1e-8, g_reg_interval: Optional[int] = 4,
+                 d_reg_interval: Optional[int] = 16, mesh: Optional[Mesh] = None,
+                 axis="data"):
+        self.loss = loss
+        self.G = loss.G
+        self.D = loss.D
+        self.D_semantic = loss.D_semantic
+        self.g_reg_interval = g_reg_interval
+        self.d_reg_interval = d_reg_interval
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.axis = axis
+        self.opt_g = _lazy_adam(g_lr, betas, eps, g_reg_interval)
+        self.opt_d = _lazy_adam(d_lr, betas, eps, d_reg_interval)
+        self.opt_dsem = _lazy_adam(d_lr, betas, eps, d_reg_interval)
+        self._step_cache = {}
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, rng):
+        kg, kd, kds = jax.random.split(rng, 3)
+        params_g = self.G.init(kg)
+        params_d = self.D.init(kd)
+        state = {
+            "G": params_g,
+            "D": params_d,
+            "G_ema": jax.tree_util.tree_map(jnp.copy, params_g),
+            "opt_G": self.opt_g.init(params_g),
+            "opt_D": self.opt_d.init(params_d),
+        }
+        if self.D_semantic is not None:
+            params_dsem = self.D_semantic.init(kds)
+            state["D_semantic"] = params_dsem
+            state["opt_D_semantic"] = self.opt_dsem.init(params_dsem)
+        return state
+
+    # ------------------------------------------------------------------ step
+    def _phase_update(self, loss_fn, params, opt, opt_state, gain, axis):
+        """grad -> psum-mean -> nan_to_num -> adam.  Returns new params/opt
+        plus the phase's aux outputs."""
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.pmean(g * gain, axis), grads)
+        grads = _nan_to_num(grads)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, aux
+
+    def _device_step(self, state, batch, gen_z, gen_c, rng, ema_beta,
+                     do_greg, do_dreg, do_dsemreg, blur_sigma, nrr):
+        """One full training iteration on one device's shard."""
+        axis = self.axis
+        loss = self.loss
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        rngs = jax.random.split(rng, 6)
+        stats = {}
+
+        def add_stats(d):
+            for k, v in d.items():
+                stats[k] = stats.get(k, 0) + v
+
+        dsem = state.get("D_semantic")
+
+        # --- Gmain
+        def gmain(p):
+            l, s = loss.g_main(p, state["D"], dsem, batch, gen_z[0], gen_c[0],
+                               rngs[0], blur_sigma, nrr)
+            return l, s
+        state["G"], state["opt_G"], s = self._phase_update(
+            gmain, state["G"], self.opt_g, state["opt_G"], 1.0, axis)
+        add_stats(s)
+
+        # --- Greg (density regularization)
+        if do_greg:
+            def greg(p):
+                return loss.g_reg(p, batch, gen_z[1], rngs[1])
+            state["G"], state["opt_G"], s = self._phase_update(
+                greg, state["G"], self.opt_g, state["opt_G"],
+                float(self.g_reg_interval), axis)
+            add_stats(s)
+
+        # --- Dmain (also carries the w_avg update, ref loss.py:846)
+        def dmain(p):
+            l, (s, aux) = loss.d_main(p, state["G"], batch, gen_z[2], gen_c[2],
+                                      rngs[2], blur_sigma, nrr)
+            return l, (s, aux)
+        state["D"], state["opt_D"], (s, aux) = self._phase_update(
+            dmain, state["D"], self.opt_d, state["opt_D"], 1.0, axis)
+        add_stats(s)
+        state["G"] = self._apply_w_avg(state["G"], aux["ws"], axis)
+
+        # --- Dreg (R1)
+        if do_dreg and loss.r1_gamma > 0:
+            def dreg(p):
+                return loss.d_r1(p, batch, rngs[3], blur_sigma, nrr)
+            state["D"], state["opt_D"], s = self._phase_update(
+                dreg, state["D"], self.opt_d, state["opt_D"],
+                float(self.d_reg_interval), axis)
+            add_stats(s)
+
+        # --- D_semantic phases
+        if dsem is not None:
+            def dsmain(p):
+                return loss.d_semantic_main(p, state["G"], batch, gen_z[3],
+                                            gen_c[3], rngs[4], blur_sigma, nrr)
+            state["D_semantic"], state["opt_D_semantic"], s = self._phase_update(
+                dsmain, state["D_semantic"], self.opt_dsem,
+                state["opt_D_semantic"], 1.0, axis)
+            add_stats(s)
+
+            if do_dsemreg and loss.r1_gamma > 0:
+                def dsreg(p):
+                    return loss.d_semantic_r1(p, batch, rngs[5], blur_sigma, nrr)
+                state["D_semantic"], state["opt_D_semantic"], s = self._phase_update(
+                    dsreg, state["D_semantic"], self.opt_dsem,
+                    state["opt_D_semantic"], float(self.d_reg_interval), axis)
+                add_stats(s)
+
+        # --- EMA (ref training_loop.py:549-559)
+        state["G_ema"] = ema_update(state["G_ema"], state["G"], ema_beta)
+        state["G_ema"] = copy_buffers(state["G_ema"], state["G"])
+
+        stats = {k: jax.lax.psum(v, axis) for k, v in stats.items()}
+        return state, stats
+
+    def _apply_w_avg(self, params_g, ws, axis):
+        """Update the conditional mapping's w_avg from the D-phase ws
+        (cross-replica mean, matching the reference's per-replica update then
+        implicit divergence — we keep replicas identical instead)."""
+        mapping = self.G.backbone.mapping
+        mp = params_g["backbone"]["mapping"]
+        if "w_avg" not in mp:
+            return params_g
+        ws_mean = jax.lax.pmean(jnp.mean(ws, axis=0), axis)
+        if mp["w_avg"].ndim == 1 and ws_mean.ndim == 2:
+            ws_mean = ws_mean[0]
+        beta = mapping.w_avg_beta
+        new_avg = ws_mean + beta * (mp["w_avg"] - ws_mean)
+        params_g = dict(params_g)
+        params_g["backbone"] = dict(params_g["backbone"])
+        params_g["backbone"]["mapping"] = dict(mp, w_avg=new_avg)
+        return params_g
+
+    def make_step(self, do_greg, do_dreg, do_dsemreg, blur_sigma, nrr):
+        """Build (and cache) the jitted shard_map'd step for one combination
+        of static schedule values."""
+        key = (do_greg, do_dreg, do_dsemreg, round(blur_sigma, 4), nrr)
+        if key in self._step_cache:
+            return self._step_cache[key]
+
+        axis = self.axis
+        rep = P()
+        data = P(axis)           # shard batch dim
+        phase_data = P(None, axis)  # [n_phases, B, ...]: shard dim 1
+
+        fn = functools.partial(self._device_step, do_greg=do_greg,
+                               do_dreg=do_dreg, do_dsemreg=do_dsemreg,
+                               blur_sigma=blur_sigma, nrr=nrr)
+
+        sharded = jax.shard_map(
+            fn, mesh=self.mesh,
+            in_specs=(rep, data, phase_data, phase_data, rep, rep),
+            out_specs=(rep, rep),
+            check_vma=False)
+        jitted = jax.jit(sharded)
+        self._step_cache[key] = jitted
+        return jitted
+
+    def step(self, state, batch, gen_z, gen_c, rng, *, step_idx, cur_nimg,
+             batch_size, ema_kimg=10, ema_rampup=0.05):
+        """Host API: run one full training iteration.
+
+        batch: dict of arrays sharded on the leading (batch) dim.
+        gen_z/gen_c: `[n_phases(4), B, ...]` fresh per-phase latents/poses.
+        """
+        from ..train.ema import ema_beta as _ema_beta
+        sched = self.loss.schedule(cur_nimg)
+        do_greg = (self.g_reg_interval is not None
+                   and step_idx % self.g_reg_interval == 0)
+        do_dreg = (self.d_reg_interval is not None
+                   and step_idx % self.d_reg_interval == 0)
+        beta = _ema_beta(batch_size, cur_nimg, ema_kimg, ema_rampup)
+        step_fn = self.make_step(do_greg, do_dreg, do_dreg,
+                                 sched["blur_sigma"],
+                                 sched["neural_rendering_resolution"])
+        return step_fn(state, batch, gen_z, gen_c, rng,
+                       jnp.asarray(beta, jnp.float32))

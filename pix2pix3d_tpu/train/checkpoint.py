@@ -1,0 +1,82 @@
+"""Checkpoint save/resume.
+
+Replaces the reference's source-embedding pickles (`persistence.py:37-99`,
+snapshot at `training_loop.py:720-737`) with msgpack pytree snapshots: the
+model is reconstructed from config (stored alongside as JSON), parameters are
+plain arrays — no code execution on load, robust across refactors, and
+(unlike the reference) the optimizer state IS checkpointed, so resume is
+exact.
+
+Partial/fuzzy resume reproduces `misc.copy_params_and_buffers`
+(`misc.py:157-176`): name-matched copy with `allow_mismatch` and a
+`_semantic`-suffix fallback so unconditional EG3D checkpoints can seed the
+conditional nets.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from ..utils.misc import tree_paths
+
+
+def save_checkpoint(path, state, config=None, step=None):
+    payload = {"state": jax.tree_util.tree_map(np.asarray, state)}
+    if step is not None:
+        payload["step"] = step
+    data = serialization.msgpack_serialize(payload)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+    if config is not None:
+        with open(path + ".json", "w") as f:
+            json.dump(config, f, indent=2, default=str)
+
+
+def load_checkpoint(path, state_template=None):
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    state = payload["state"]
+    if state_template is not None:
+        state = serialization.from_state_dict(state_template, state)
+    state = jax.tree_util.tree_map(jnp.asarray, state)
+    return state, payload.get("step")
+
+
+def copy_params_fuzzy(src_tree, dst_tree, allow_mismatch=True, verbose=False):
+    """Name-matched partial init (ref `misc.py:157-176`): copy every leaf of
+    `src_tree` whose path exists in `dst_tree` with a matching shape; paths
+    containing a `*_semantic` component additionally fall back to the
+    non-semantic name in `src_tree` (so EG3D pickles seed both branches)."""
+    src = {p: v for p, v in tree_paths(src_tree)}
+
+    def lookup(path):
+        if path in src:
+            return src[path]
+        stripped = tuple(p.replace("_semantic", "") for p in path)
+        return src.get(stripped)
+
+    copied = [0]
+
+    def walk(dst, prefix=()):
+        if isinstance(dst, dict):
+            return {k: walk(v, prefix + (k,)) for k, v in dst.items()}
+        v = lookup(prefix)
+        if v is not None and tuple(np.shape(v)) == tuple(dst.shape):
+            copied[0] += 1
+            return jnp.asarray(v, dst.dtype)
+        if v is not None and not allow_mismatch:
+            raise ValueError(f"shape mismatch at {'.'.join(prefix)}")
+        return dst
+
+    out = walk(dst_tree)
+    if verbose:
+        print(f"copy_params_fuzzy: copied {copied[0]} leaves")
+    return out

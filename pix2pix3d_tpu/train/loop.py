@@ -1,0 +1,217 @@
+"""Host-side training loop.
+
+Ref `training/training_loop.py:230-800`.  The reference's per-GPU process
+spawn + NCCL path is replaced by a single host driving a jitted SPMD step
+over the device mesh (see `parallel/trainer.py`).  Tick cadence, stats.jsonl,
+image/network snapshots, EMA, abort hook, and resume mirror the reference.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import PIL.Image
+
+from ..models import build_generator
+from ..nn import DualDiscriminator
+from ..render.camera import LookAtPoseSampler, fov_to_intrinsics, \
+    pose_to_conditioning
+from .dataset import build_dataset, DataLoader
+from .loss import Pix2Pix3DLoss
+from .lpips import LPIPS
+from .stats import Collector
+from .checkpoint import save_checkpoint, load_checkpoint, copy_params_fuzzy
+from ..parallel.trainer import Trainer, make_mesh
+from ..utils.misc import format_time
+from .viz import color_mask, save_image_grid
+
+
+def training_loop(
+    run_dir=".",
+    dataset_kwargs=None,        # build_dataset kwargs
+    g_config=None,              # build_generator kwargs (from config.generator_config)
+    d_kwargs=None,              # DualDiscriminator extra kwargs
+    loss_kwargs=None,           # Pix2Pix3DLoss kwargs
+    use_d_semantic=True,
+    g_lr=0.0025,
+    d_lr=0.002,
+    g_reg_interval=4,
+    d_reg_interval=16,
+    batch_size=4,
+    ema_kimg=None,              # None -> batch_size * 10 / 32 (ref train.py:372)
+    ema_rampup=0.05,
+    total_kimg=25000,
+    kimg_per_tick=4,
+    snapshot_ticks=10,
+    image_snapshot_ticks=10,
+    random_seed=0,
+    resume_path=None,
+    resume_kimg=0,
+    lpips_weights=None,
+    abort_fn=None,
+    progress_fn=None,
+    mesh=None,
+):
+    start_time = time.time()
+    os.makedirs(run_dir, exist_ok=True)
+    mesh = mesh if mesh is not None else make_mesh()
+    num_devices = mesh.devices.size
+    assert batch_size % num_devices == 0, \
+        f"batch_size {batch_size} must divide over {num_devices} devices"
+    if ema_kimg is None:
+        ema_kimg = batch_size * 10 / 32
+
+    # Dataset.
+    dataset = build_dataset(**dataset_kwargs)
+    loader = DataLoader(dataset, batch_size=batch_size, seed=random_seed)
+
+    # Networks.
+    g_config = dict(g_config)
+    g_config.setdefault("c_dim", dataset.label_dim)
+    G = build_generator(**g_config)
+    sem = g_config["semantic_channels"]
+    res = g_config["img_resolution"]
+    d_common = dict(c_dim=dataset.label_dim, img_resolution=res,
+                    **(d_kwargs or {}))
+    D = DualDiscriminator(img_channels=3, **d_common)
+    D_sem = DualDiscriminator(img_channels=3 + sem, **d_common) \
+        if use_d_semantic else None
+
+    lpips = LPIPS(weights_path=lpips_weights)
+    loss = Pix2Pix3DLoss(G, D, D_semantic=D_sem, lpips=lpips,
+                         **(loss_kwargs or {}))
+    trainer = Trainer(loss, g_lr=g_lr, d_lr=d_lr,
+                      g_reg_interval=g_reg_interval,
+                      d_reg_interval=d_reg_interval, mesh=mesh)
+
+    # State init / resume.
+    state = trainer.init_state(jax.random.PRNGKey(random_seed))
+    cur_nimg = int(resume_kimg * 1000)
+    if resume_path is not None:
+        if resume_path.endswith(".pkl"):
+            # Reference-format pickle: partial fuzzy init (ref
+            # `training_loop.py:311-321`).
+            from ..utils.convert import load_reference_pickle, convert_state_dict
+            modules = load_reference_pickle(resume_path)
+            for name, key in [("G", "G"), ("D", "D"), ("G_ema", "G_ema")]:
+                if name in modules:
+                    try:
+                        converted = convert_state_dict(modules[name], state[key])
+                        state[key] = converted
+                    except (KeyError, ValueError):
+                        # fuzzy partial init for architecture mismatches
+                        state[key] = copy_params_fuzzy(modules[name], state[key])
+        else:
+            state, step = load_checkpoint(resume_path, state)
+            if step is not None:
+                cur_nimg = step
+    print(f"devices: {num_devices}  batch: {batch_size}  "
+          f"G params: {sum(x.size for x in jax.tree_util.tree_leaves(state['G'])):,}")
+
+    # Logs.
+    stats_jsonl = open(os.path.join(run_dir, "stats.jsonl"), "at")
+    collector = Collector()
+
+    # Snapshot grid inputs.
+    grid_n = min(batch_size, 8)
+    grid_batch = next(iter(loader))
+    save_image_grid(((grid_batch["image"][:grid_n] + 1) * 127.5),
+                    os.path.join(run_dir, "reals.png"))
+    if dataset.data_type == "seg":
+        save_image_grid(color_mask(grid_batch["mask"][:grid_n, :, :, 0]),
+                        os.path.join(run_dir, "mask.png"))
+    grid_z = np.random.RandomState(random_seed).randn(grid_n, G.z_dim) \
+        .astype(np.float32)
+
+    rng = jax.random.PRNGKey(random_seed * 1000 + 7)
+    step_idx = 0
+    tick = 0
+    tick_start_nimg = cur_nimg
+    tick_start_time = time.time()
+
+    while True:
+        batch = next(iter(loader))
+        batch_dev = {k: jnp.asarray(v) for k, v in batch.items()
+                     if k in ("image", "mask", "pose")}
+
+        rng, k_z, k_c, k_step = jax.random.split(rng, 4)
+        gen_z = jax.random.normal(k_z, (4, batch_size, G.z_dim))
+        gen_idx = np.random.randint(len(dataset), size=4 * batch_size)
+        gen_c = jnp.asarray(np.stack(
+            [dataset.get_label(i) for i in gen_idx]).reshape(
+                4, batch_size, -1).astype(np.float32))
+
+        state, stats = trainer.step(state, batch_dev, gen_z, gen_c, k_step,
+                                    step_idx=step_idx, cur_nimg=cur_nimg,
+                                    batch_size=batch_size, ema_kimg=ema_kimg,
+                                    ema_rampup=ema_rampup)
+        collector.update(jax.tree_util.tree_map(np.asarray, stats))
+        cur_nimg += batch_size
+        step_idx += 1
+
+        done = cur_nimg >= total_kimg * 1000
+        if (not done) and (cur_nimg < tick_start_nimg + kimg_per_tick * 1000):
+            continue
+
+        # --- tick
+        tick_time = time.time() - tick_start_time
+        kimg = cur_nimg / 1e3
+        means = collector.as_means()
+        fields = {
+            "Progress/kimg": kimg,
+            "Progress/tick": tick,
+            "Timing/sec_per_kimg":
+                tick_time / max((cur_nimg - tick_start_nimg) / 1e3, 1e-8),
+            "Timing/total_sec": time.time() - start_time,
+        }
+        fields.update(means)
+        stats_jsonl.write(json.dumps(fields) + "\n")
+        stats_jsonl.flush()
+        print(f"tick {tick:<5d} kimg {kimg:<8.1f} "
+              f"time {format_time(time.time() - start_time):<12s} "
+              f"sec/kimg {fields['Timing/sec_per_kimg']:<7.1f} "
+              f"Gloss {means.get('Loss/G/loss', float('nan')):<6.3f} "
+              f"Dloss {means.get('Loss/D/loss', float('nan')):<6.3f}")
+        collector.reset()
+
+        if image_snapshot_ticks is not None and tick % image_snapshot_ticks == 0:
+            _save_fakes(G, state["G_ema"], grid_z, grid_batch, grid_n, run_dir,
+                        cur_nimg, dataset.data_type)
+        if snapshot_ticks is not None and tick % snapshot_ticks == 0:
+            save_checkpoint(
+                os.path.join(run_dir, f"network-snapshot-{cur_nimg//1000:06d}.ckpt"),
+                state, config=dict(g_config=g_config), step=cur_nimg)
+
+        if progress_fn is not None:
+            progress_fn(cur_nimg // 1000, total_kimg)
+        if done or (abort_fn is not None and abort_fn()):
+            break
+        tick += 1
+        tick_start_nimg = cur_nimg
+        tick_start_time = time.time()
+
+    save_checkpoint(os.path.join(run_dir, "network-final.ckpt"), state,
+                    config=dict(g_config=g_config), step=cur_nimg)
+    print(f"done: {cur_nimg / 1e3:.1f} kimg in "
+          f"{format_time(time.time() - start_time)}")
+    return state
+
+
+def _save_fakes(G, params_ema, grid_z, grid_batch, grid_n, run_dir, cur_nimg,
+                data_type):
+    batch = {"mask": jnp.asarray(grid_batch["mask"][:grid_n]),
+             "pose": jnp.asarray(grid_batch["pose"][:grid_n])}
+    out = G(params_ema, jnp.asarray(grid_z), batch["pose"], batch,
+            noise_mode="const", det=True)
+    img = (np.asarray(out["image"]) + 1) * 127.5
+    save_image_grid(img, os.path.join(run_dir, f"fakes{cur_nimg//1000:06d}.png"))
+    if data_type == "seg":
+        sem = np.argmax(np.asarray(out["semantic"]), axis=-1)
+        save_image_grid(color_mask(sem),
+                        os.path.join(run_dir,
+                                     f"fakes{cur_nimg//1000:06d}_label.png"))

@@ -1,0 +1,116 @@
+"""Training-step tests on an 8-device virtual CPU mesh.
+
+Covers the analog of the reference's implicit training verification:
+- one full iteration (all 6 phases) runs and updates every module
+- replicas stay consistent (the analog of `misc.check_ddp_consistency`,
+  ref `misc.py:194-205`) — params are replicated, so post-step values must
+  be identical across devices by construction of the psum'd update
+- losses are finite; EMA moves toward G
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pix2pix3d_tpu import config as cfg_mod
+from pix2pix3d_tpu.models import build_generator
+from pix2pix3d_tpu.nn import DualDiscriminator
+from pix2pix3d_tpu.train.loss import Pix2Pix3DLoss
+from pix2pix3d_tpu.parallel.trainer import Trainer, make_mesh
+from pix2pix3d_tpu.render.camera import (LookAtPoseSampler, fov_to_intrinsics,
+                                         pose_to_conditioning)
+
+RES = 128
+SEM = 6
+NRR = 32
+B = 8  # one per device
+
+
+def tiny_setup():
+    cfg = cfg_mod.generator_config(
+        cfg="afhq", resolution=RES, data_type="seg", semantic_channels=SEM,
+        cbase=1024, cmax=32, sr_num_fp16_res=0, render_mask=True,
+        gen_pose_cond=True, gpc_reg_prob=0.5)
+    cfg["rendering_kwargs"].update(depth_resolution=4,
+                                   depth_resolution_importance=4)
+    cfg["mapping_kwargs"]["in_resolution"] = RES
+    cfg["mapping_kwargs"]["encoder_channel_base"] = 1 / 128
+    G = build_generator(**cfg)
+    D = DualDiscriminator(c_dim=25, img_resolution=RES, img_channels=3,
+                          channel_base=1024, channel_max=32, num_fp16_res=0)
+    D_sem = DualDiscriminator(c_dim=25, img_resolution=RES,
+                              img_channels=3 + SEM, channel_base=1024,
+                              channel_max=32, num_fp16_res=0)
+    loss = Pix2Pix3DLoss(
+        G, D, D_semantic=D_sem, lpips=None, r1_gamma=5.0, random_c_prob=0.5,
+        lambda_l1=1.0, lambda_lpips=0.0, lambda_D_semantic=0.1,
+        only_raw_recons=True, lambda_cross_view=1e-4,
+        neural_rendering_resolution_initial=NRR)
+    return G, D, D_sem, loss
+
+
+def make_batch(rng_seed=0):
+    rng = np.random.RandomState(rng_seed)
+    c2w = LookAtPoseSampler.sample(None, np.pi / 2, np.pi / 2, [0, 0, -0.06],
+                                   radius=2.7, batch_size=B)
+    pose = np.asarray(pose_to_conditioning(c2w, fov_to_intrinsics(18.837)))
+    batch = {
+        "image": jnp.asarray(rng.rand(B, RES, RES, 3).astype(np.float32) * 2 - 1),
+        "mask": jnp.asarray(rng.randint(0, SEM, size=(B, RES, RES, 1)),
+                            dtype=jnp.float32),
+        "pose": jnp.asarray(pose),
+    }
+    gen_z = jnp.asarray(rng.randn(4, B, 512).astype(np.float32))
+    gen_c = jnp.tile(jnp.asarray(pose)[None], (4, 1, 1))
+    return batch, gen_z, gen_c
+
+
+@pytest.mark.slow
+def test_full_train_step():
+    assert len(jax.devices()) == 8, "expects the 8-device virtual CPU mesh"
+    G, D, D_sem, loss = tiny_setup()
+    trainer = Trainer(loss, mesh=make_mesh(), g_reg_interval=4,
+                      d_reg_interval=16)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch, gen_z, gen_c = make_batch()
+
+    g_before = state["G"]["backbone"]["synthesis"]["b4"]["conv1"]["weight"]
+    d_before = state["D"]["b4"]["conv"]["weight"]
+
+    # step 0 triggers all reg phases (0 % interval == 0)
+    state, stats = trainer.step(state, batch, gen_z, gen_c,
+                                jax.random.PRNGKey(1), step_idx=0,
+                                cur_nimg=0, batch_size=B)
+
+    g_after = state["G"]["backbone"]["synthesis"]["b4"]["conv1"]["weight"]
+    d_after = state["D"]["b4"]["conv"]["weight"]
+    ds_after = state["D_semantic"]["b4"]["conv"]["weight"]
+
+    assert not np.allclose(np.asarray(g_before), np.asarray(g_after))
+    assert not np.allclose(np.asarray(d_before), np.asarray(d_after))
+    assert np.isfinite(np.asarray(g_after)).all()
+    assert np.isfinite(np.asarray(d_after)).all()
+    assert np.isfinite(np.asarray(ds_after)).all()
+
+    # stats moments present and finite
+    for key in ("Loss/G/loss", "Loss/D/loss", "Loss/scores/fake",
+                "Loss/r1_penalty", "Loss/D/loss_semantic"):
+        assert key in stats, sorted(stats)
+        m = np.asarray(stats[key])
+        assert np.isfinite(m).all(), key
+
+    # At cur_nimg=0 the EMA ramp-up gives beta=0: EMA snaps to G exactly
+    # (matches the reference's behavior at the start of training).
+    ema = np.asarray(state["G_ema"]["backbone"]["synthesis"]["b4"]["conv1"]["weight"])
+    np.testing.assert_allclose(ema, np.asarray(g_after))
+
+    # second step without reg phases compiles its own variant and runs;
+    # with cur_nimg>0 the EMA beta is in (0,1) so EMA lags G.
+    state, stats = trainer.step(state, batch, gen_z, gen_c,
+                                jax.random.PRNGKey(2), step_idx=1,
+                                cur_nimg=200_000, batch_size=B)
+    g2 = np.asarray(state["G"]["backbone"]["synthesis"]["b4"]["conv1"]["weight"])
+    ema2 = np.asarray(state["G_ema"]["backbone"]["synthesis"]["b4"]["conv1"]["weight"])
+    assert np.isfinite(g2).all()
+    assert not np.allclose(ema2, g2)
