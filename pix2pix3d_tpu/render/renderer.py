@@ -35,13 +35,15 @@ def generate_plane_axes():
     )
 
 
-_INV_PLANE_AXES = jnp.asarray(np.linalg.inv(generate_plane_axes()))  # [3, 3, 3]
+_INV_PLANE_AXES = np.linalg.inv(generate_plane_axes())  # [3, 3, 3] (host const)
 
 
 def project_onto_planes(coordinates):
     """[N, M, 3] world coords -> [N, 3, M, 2] per-plane 2D coords
     (ref `renderer.py:39-53`, batched matmul against inverse plane axes)."""
-    proj = jnp.einsum("nmi,pij->npmj", coordinates, _INV_PLANE_AXES.astype(coordinates.dtype))
+    inv_axes = jnp.asarray(_INV_PLANE_AXES, dtype=coordinates.dtype)
+    proj = jnp.einsum("nmi,pij->npmj", coordinates, inv_axes,
+                      precision=jax.lax.Precision.HIGHEST)
     return proj[..., :2]
 
 
