@@ -14,7 +14,60 @@ path.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def grid_sample_2d_patch(features, coords):
+    """Bilinear sample via ONE patch-gather per point (zeros padding).
+
+    TPU-optimized formulation: instead of 4 independent row gathers (each a
+    ~128B random access, transaction-size-bound on HBM), fetch the point's
+    2x2xC corner patch with a single `lax.gather` slice and blend with
+    bilinear hat weights.  The hat formulation
+    `w(t) = max(0, 1-|ix-tx|) * max(0, 1-|iy-ty|)` evaluated on the
+    clamped patch is exact for zeros padding: texels outside the image would
+    contribute 0, and clamp-shifted texels get non-positive hat arguments.
+
+    Args / returns as :func:`grid_sample_2d` (padding_mode='zeros' only).
+    """
+    n, h, w, c = features.shape
+    m = coords.shape[1]
+    x = coords[..., 0].astype(jnp.float32)
+    y = coords[..., 1].astype(jnp.float32)
+    ix = (x + 1.0) * (w * 0.5) - 0.5
+    iy = (y + 1.0) * (h * 0.5) - 0.5
+
+    iy0 = jnp.clip(jnp.floor(iy).astype(jnp.int32), 0, h - 2)
+    ix0 = jnp.clip(jnp.floor(ix).astype(jnp.int32), 0, w - 2)
+
+    starts = jnp.stack([iy0, ix0], axis=-1)  # [N, M, 2]
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3, 4),
+        collapsed_slice_dims=(),
+        start_index_map=(1, 2),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    patch = jax.lax.gather(
+        features, starts, dnums, slice_sizes=(1, 2, 2, c),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )  # [N, M, 2, 2, C] (leading slice dim collapsed by batching)
+    patch = patch.reshape(n, m, 2, 2, c).astype(jnp.float32)
+
+    # hat weights against the clamped base
+    ty0 = iy0.astype(jnp.float32)
+    tx0 = ix0.astype(jnp.float32)
+    wy0 = jnp.maximum(0.0, 1.0 - jnp.abs(iy - ty0))
+    wy1 = jnp.maximum(0.0, 1.0 - jnp.abs(iy - (ty0 + 1)))
+    wx0 = jnp.maximum(0.0, 1.0 - jnp.abs(ix - tx0))
+    wx1 = jnp.maximum(0.0, 1.0 - jnp.abs(ix - (tx0 + 1)))
+
+    out = (patch[:, :, 0, 0] * (wy0 * wx0)[..., None]
+           + patch[:, :, 0, 1] * (wy0 * wx1)[..., None]
+           + patch[:, :, 1, 0] * (wy1 * wx0)[..., None]
+           + patch[:, :, 1, 1] * (wy1 * wx1)[..., None])
+    return out.astype(features.dtype)
 
 
 def grid_sample_2d(features, coords, padding_mode="zeros"):

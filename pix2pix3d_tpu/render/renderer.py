@@ -18,7 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.grid_sample import grid_sample_2d
+from ..ops.grid_sample import grid_sample_2d, grid_sample_2d_patch
 from . import math_utils
 from .ray_marcher import march_rays
 
@@ -62,7 +62,7 @@ def sample_from_planes(plane_features, coordinates, box_warp):
     proj = project_onto_planes(coordinates)  # [N, 3, M, 2]
     flat_planes = plane_features.reshape(n * n_planes, h, w, c)
     flat_coords = proj.reshape(n * n_planes, m, 2).astype(jnp.float32)
-    out = grid_sample_2d(flat_planes, flat_coords, padding_mode="zeros")
+    out = grid_sample_2d_patch(flat_planes, flat_coords)
     return out.reshape(n, n_planes, m, c)
 
 
@@ -176,9 +176,33 @@ class ImportanceRenderer:
 
     def run_model(self, planes, decoder, sample_coordinates, sample_directions,
                   options, rng=None):
-        sampled_features = sample_from_planes(planes, sample_coordinates,
-                                              box_warp=options["box_warp"])
-        out = decoder(sampled_features, sample_directions)
+        """Point evaluation: tri-plane sample + decoder MLP.
+
+        Memory: the patch-gather materializes a [N*3, chunk, 2, 2, C] tensor,
+        so large point counts are processed in `point_chunk`-sized chunks via
+        `lax.map` (serial chunks, each one big fused XLA program)."""
+        chunk = int(options.get("point_chunk", 65536))
+        n, m, _ = sample_coordinates.shape
+
+        def eval_points(coords, dirs):
+            feats = sample_from_planes(planes, coords,
+                                       box_warp=options["box_warp"])
+            return decoder(feats, dirs)
+
+        if m <= chunk:
+            out = eval_points(sample_coordinates, sample_directions)
+        else:
+            n_chunks = -(-m // chunk)
+            pad = n_chunks * chunk - m
+            coords = jnp.pad(sample_coordinates, ((0, 0), (0, pad), (0, 0)))
+            dirs = jnp.pad(sample_directions, ((0, 0), (0, pad), (0, 0)))
+            coords = coords.reshape(n, n_chunks, chunk, 3).transpose(1, 0, 2, 3)
+            dirs = dirs.reshape(n, n_chunks, chunk, 3).transpose(1, 0, 2, 3)
+            chunks = jax.lax.map(lambda cd: eval_points(cd[0], cd[1]),
+                                 (coords, dirs))
+            out = {k: v.transpose(1, 0, 2, 3).reshape(n, n_chunks * chunk, -1)[:, :m]
+                   for k, v in chunks.items()}
+
         if options.get("density_noise", 0) > 0:
             assert rng is not None
             out["sigma"] = out["sigma"] + jax.random.normal(
