@@ -1,0 +1,66 @@
+"""Metric registry and runner (ref `metrics/metric_main.py:29-68`)."""
+
+from __future__ import annotations
+
+import time
+
+from . import metric_utils
+from .frechet_inception_distance import compute_fid
+from .kernel_inception_distance import compute_kid
+from .miou import compute_miou
+
+_metric_dict = {}
+
+
+def register_metric(fn):
+    assert callable(fn)
+    _metric_dict[fn.__name__] = fn
+    return fn
+
+
+def is_valid_metric(metric):
+    return metric in _metric_dict
+
+
+def list_valid_metrics():
+    return list(_metric_dict.keys())
+
+
+def calc_metric(metric, **kwargs):
+    assert is_valid_metric(metric), f"unknown metric {metric}"
+    opts = metric_utils.MetricOptions(**kwargs)
+    start = time.time()
+    results = _metric_dict[metric](opts)
+    return dict(results=results, metric=metric,
+                total_time=time.time() - start)
+
+
+@register_metric
+def fid50k_full(opts):
+    return {"fid50k_full": compute_fid(opts, max_real=None, num_gen=50000)}
+
+
+@register_metric
+def fid2k(opts):
+    """Cheap FID for in-training eval."""
+    return {"fid2k": compute_fid(opts, max_real=2000, num_gen=2000)}
+
+
+@register_metric
+def kid50k_full(opts):
+    return {"kid50k_full": compute_kid(opts, max_real=1000000, num_gen=50000)}
+
+
+@register_metric
+def kid2k(opts):
+    return {"kid2k": compute_kid(opts, max_real=2000, num_gen=2000)}
+
+
+@register_metric
+def miou500(opts):
+    return compute_miou(opts, num_items=500)
+
+
+@register_metric
+def miou2k(opts):
+    return compute_miou(opts, num_items=2000)

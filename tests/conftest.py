@@ -21,6 +21,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compilation cache: the big SPMD train-step programs take many
+# minutes to compile on this single-core host; cache them across test runs.
+os.makedirs("/root/.cache/jax_test_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 
 def pytest_report_header(config):
     return f"jax devices: {jax.devices()}"
