@@ -64,9 +64,18 @@ class _Archive:
 
 
 def _load_image_hwc(f):
-    img = np.array(PIL.Image.open(f))
-    if img.ndim == 2:
-        img = img[:, :, np.newaxis]
+    """Decode an image file object -> HWC uint8.
+
+    Uses the native C++ PNG decoder (native/png_reader.cpp) when available
+    (bit-exact vs PIL, no GIL during inflate/defilter); falls back to PIL for
+    non-PNG formats or when the shared library is not built."""
+    data = f.read()
+    from .native_loader import decode_png
+    img = decode_png(data) if data[:4] == b"\x89PNG" else None
+    if img is None:
+        img = np.array(PIL.Image.open(__import__("io").BytesIO(data)))
+        if img.ndim == 2:
+            img = img[:, :, np.newaxis]
     return img
 
 
@@ -261,7 +270,9 @@ class ImageEdgeFolderDataset(ImageSegFolderDataset):
     def _load_raw_mask(self, raw_idx):
         with self._mask_archive.open(self._mask_fnames[raw_idx]) as f:
             mask = np.array(PIL.Image.open(f).convert("L"))
-        mask = _box_blur3(255 - mask)
+        from .native_loader import edge_preprocess
+        native = edge_preprocess(mask)
+        mask = native if native is not None else _box_blur3(255 - mask)
         if mask.shape[0] != self.resolution:
             mask = np.array(PIL.Image.fromarray(mask).resize(
                 (self.resolution, self.resolution), PIL.Image.NEAREST))
