@@ -509,14 +509,15 @@ class TriPlaneSemanticGenerator(_TriPlaneBase):
         cam2world, intrinsics = _parse_pose(c)
         ray_origins, ray_directions = sample_rays(cam2world, intrinsics, nrr)
 
-        # Coarse/fine passes via the shared ImportanceRenderer machinery with
-        # a closure over the two plane sets (semantic renderer semantics,
+        # Coarse/fine passes via the shared render_rays core with a closure
+        # over the two plane sets (semantic renderer semantics,
         # ref `renderer.py:256-333`).
+        from ..render.renderer import render_rays
         run = lambda coords, dirs: self._run_model(params, planes_t, planes_s,
                                                    coords, dirs)
-        feats, depths, _ = _render_with_custom_model(
-            self.renderer, run, ray_origins, ray_directions,
-            self.rendering_kwargs, rng=rngs[2], det=det)
+        feats, depths, _ = render_rays(run, ray_origins, ray_directions,
+                                       self.rendering_kwargs, rng=rngs[2],
+                                       det=det)
 
         feature_image = self._to_image(feats, nrr)
         depth_image = self._to_image(depths, nrr)
@@ -547,54 +548,6 @@ class TriPlaneSemanticGenerator(_TriPlaneBase):
         return self.synthesis(params, ws, c,
                               neural_rendering_resolution=neural_rendering_resolution,
                               **synthesis_kwargs)
-
-
-def _render_with_custom_model(renderer, run_model, ray_origins, ray_directions,
-                              options, rng=None, det=False):
-    """ImportanceRenderer.__call__ with a custom point-evaluation closure
-    (for the two-plane semantic renderer)."""
-    import jax as _jax
-
-    rngs = _jax.random.split(rng, 3) if rng is not None else [None] * 3
-    ray_start = options["ray_start"]
-    ray_end = options["ray_end"]
-    depths_coarse = ImportanceRenderer.sample_stratified(
-        rngs[0], ray_origins, ray_start, ray_end, options["depth_resolution"],
-        options.get("disparity_space_sampling", False), det=det)
-    batch_size, num_rays, s_coarse, _ = depths_coarse.shape
-
-    def eval_at(depths, s):
-        coords = (ray_origins[:, :, None, :] +
-                  depths * ray_directions[:, :, None, :]).reshape(batch_size, -1, 3)
-        dirs = jnp.broadcast_to(ray_directions[:, :, None, :],
-                                (batch_size, num_rays, s, 3)).reshape(batch_size, -1, 3)
-        out = run_model(coords, dirs)
-        colors = out["rgb"].reshape(batch_size, num_rays, s, -1)
-        densities = out["sigma"].reshape(batch_size, num_rays, s, 1)
-        return colors, densities
-
-    colors_coarse, densities_coarse = eval_at(depths_coarse, s_coarse)
-    n_imp = options["depth_resolution_importance"]
-    if n_imp > 0:
-        _, _, weights = march_rays_import(colors_coarse, densities_coarse,
-                                          depths_coarse, options)
-        depths_fine = ImportanceRenderer.sample_importance(
-            rngs[2], depths_coarse, weights, n_imp, det=det)
-        colors_fine, densities_fine = eval_at(depths_fine, n_imp)
-        all_depths, all_colors, all_densities = ImportanceRenderer.unify_samples(
-            depths_coarse, colors_coarse, densities_coarse,
-            depths_fine, colors_fine, densities_fine)
-        rgb, depth, weights = march_rays_import(all_colors, all_densities,
-                                                all_depths, options)
-    else:
-        rgb, depth, weights = march_rays_import(colors_coarse, densities_coarse,
-                                                depths_coarse, options)
-    return rgb, depth, jnp.sum(weights, axis=2)
-
-
-def march_rays_import(colors, densities, depths, options):
-    from ..render.ray_marcher import march_rays
-    return march_rays(colors, densities, depths, options)
 
 
 class TriPlaneSemanticEntangleGeneratorWithBG(TriPlaneSemanticEntangleGenerator):

@@ -1,6 +1,12 @@
 """Volume-rendering quadrature (ref
 `training/volumetric_rendering/ray_marcher.py:20-63`, MipNeRF-style midpoint
-rule with softplus(x-1) density activation)."""
+rule with softplus(x-1) density activation).
+
+TPU layout note: the internal `*_3d` functions carry depths/densities as
+`[N, R, S]` with the sample axis LAST — a trailing singleton dim would be
+padded 128x by the (8,128) tile layout (3 GB for a 24 MB depth tensor).
+`march_rays` keeps the reference's `[..., S, 1]` interface for parity tests.
+"""
 
 from __future__ import annotations
 
@@ -8,46 +14,71 @@ import jax
 import jax.numpy as jnp
 
 
-def march_rays(colors, densities, depths, rendering_options):
-    """Composite samples along rays.
+def compute_weights_3d(densities, depths, rendering_options):
+    """Compositing weights only (no colors needed).
 
-    Args:
-        colors: `[N, R, S, C]`.
-        densities: `[N, R, S, 1]`.
-        depths: `[N, R, S, 1]`, sorted ascending along S.
-        rendering_options: dict; uses 'clamp_mode' ('softplus') and
-            optional 'white_back'.
-
-    Returns:
-        (composite `[N, R, C]`, depth `[N, R, 1]`, weights `[N, R, S-1, 1]`).
+    densities/depths: `[N, R, S]`, depths sorted ascending.
+    Returns weights `[N, R, S-1]`.
     """
-    deltas = depths[:, :, 1:] - depths[:, :, :-1]
-    colors_mid = (colors[:, :, :-1] + colors[:, :, 1:]) / 2
-    densities_mid = (densities[:, :, :-1] + densities[:, :, 1:]) / 2
-    depths_mid = (depths[:, :, :-1] + depths[:, :, 1:]) / 2
-
     assert rendering_options["clamp_mode"] == "softplus", \
         "only clamp_mode='softplus' is supported (matches the reference)"
+    deltas = depths[..., 1:] - depths[..., :-1]
+    densities_mid = (densities[..., :-1] + densities[..., 1:]) / 2
     # activation bias of -1 makes things initialize better (ref :33)
     densities_mid = jax.nn.softplus(densities_mid - 1)
 
     density_delta = densities_mid * deltas
     alpha = 1 - jnp.exp(-density_delta)
-
     alpha_shifted = jnp.concatenate(
-        [jnp.ones_like(alpha[:, :, :1]), 1 - alpha + 1e-10], axis=-2)
-    transmittance = jnp.cumprod(alpha_shifted, axis=-2)[:, :, :-1]
-    weights = alpha * transmittance
+        [jnp.ones_like(alpha[..., :1]), 1 - alpha + 1e-10], axis=-1)
+    transmittance = jnp.cumprod(alpha_shifted, axis=-1)[..., :-1]
+    return alpha * transmittance
 
-    composite_rgb = jnp.sum(weights * colors_mid, axis=-2)
-    weight_total = jnp.sum(weights, axis=2)
-    composite_depth = jnp.sum(weights * depths_mid, axis=-2) / weight_total
 
+def midpoint_coefficients(weights):
+    """Per-sample coefficients equivalent to midpoint compositing.
+
+    sum_i w_i (x_i + x_{i+1})/2  ==  sum_k coeff_k x_k  with
+    coeff_k = (w_{k-1} + w_k)/2 (w out of range = 0).
+    weights `[N, R, S-1]` -> coeff `[N, R, S]`.
+    """
+    wp = jnp.pad(weights, ((0, 0), (0, 0), (1, 1)))
+    return (wp[..., :-1] + wp[..., 1:]) / 2
+
+
+def finalize_composite_3d(composite_rgb, composite_depth, weight_total, depths,
+                          rendering_options):
+    """Depth clamp/nan handling, white_back, output scaling (ref :46-55)."""
     composite_depth = jnp.nan_to_num(composite_depth, nan=jnp.inf)
     composite_depth = jnp.clip(composite_depth, jnp.min(depths), jnp.max(depths))
-
     if rendering_options.get("white_back", False):
-        composite_rgb = composite_rgb + 1 - weight_total
+        composite_rgb = composite_rgb + (1 - weight_total)[..., None]
+    composite_rgb = composite_rgb * 2 - 1
+    return composite_rgb, composite_depth
 
-    composite_rgb = composite_rgb * 2 - 1  # scale to (-1, 1)
+
+def march_rays_3d(colors, densities, depths, rendering_options):
+    """Composite sorted samples.
+
+    colors `[N, R, S, C]`, densities/depths `[N, R, S]`.
+    Returns (rgb `[N, R, C]`, depth `[N, R]`, weights `[N, R, S-1]`).
+    """
+    weights = compute_weights_3d(densities, depths, rendering_options)
+    coeff = midpoint_coefficients(weights)  # [N, R, S]
+    composite_rgb = jnp.einsum("nrs,nrsc->nrc", coeff, colors)
+    weight_total = jnp.sum(weights, axis=-1)
+    composite_depth = jnp.sum(coeff * depths, axis=-1) / weight_total
+    composite_rgb, composite_depth = finalize_composite_3d(
+        composite_rgb, composite_depth, weight_total, depths, rendering_options)
     return composite_rgb, composite_depth, weights
+
+
+def march_rays(colors, densities, depths, rendering_options):
+    """Reference-interface wrapper (ref `ray_marcher.py:20-63`).
+
+    colors `[N, R, S, C]`, densities/depths `[N, R, S, 1]`.
+    Returns (rgb `[N, R, C]`, depth `[N, R, 1]`, weights `[N, R, S-1, 1]`).
+    """
+    rgb, depth, weights = march_rays_3d(colors, densities[..., 0],
+                                        depths[..., 0], rendering_options)
+    return rgb, depth[..., None], weights[..., None]

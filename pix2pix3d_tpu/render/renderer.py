@@ -3,13 +3,25 @@
 Ref `training/volumetric_rendering/renderer.py:82-253`.  Functional: planes
 and decoder params are inputs, randomness is an explicit rng key, sample
 counts come from `rendering_options` and are static, so the whole renderer
-jits into one fused XLA program with fixed shapes (the data-dependent sort /
-searchsorted are fine under jit because shapes are static).
+jits into one fused XLA program with fixed shapes.
 
-Plane layout is feature-last: `[N, 3, H, W, C]` (reference is `[N, 3, C, H,
-W]`).  The XLA gather in `sample_from_planes` is the baseline; a fused
-Pallas kernel for (project -> gather -> lerp -> decoder MLP) lives in
-`ops/triplane_pallas.py` and is selected with `impl='pallas'`.
+TPU-first redesign of the hot path (same math as the reference, reordered
+for the memory system):
+
+- plane sampling fetches each point's 2x2xC corner patch with ONE gather
+  slice (`ops/grid_sample.grid_sample_2d_patch`) and is chunked over points
+  so the patch tensor stays in a bounded working set;
+- depths/densities ride as `[N, R, S]` with the sample axis last — trailing
+  singleton dims would be tile-padded 128x;
+- the coarse+fine merge never materializes merged color tensors: depths and
+  densities are merged with a 3-operand `lax.sort` (vectorized sorting
+  network, no gathers), compositing weights are computed on the sorted
+  scalars, and each ORIGINAL sample's contribution coefficient is read back
+  through its merged rank — `sum_i w_i (c_i + c_{i+1})/2` over the merged
+  order is algebraically identical to `sum_j coeff_j c_j` over the original
+  order, so the reference's `unify_samples` + second march
+  (`renderer.py:131-135,157-167`) is reproduced exactly without sorting a
+  single color value.
 """
 
 from __future__ import annotations
@@ -18,9 +30,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.grid_sample import grid_sample_2d, grid_sample_2d_patch
+from ..ops.grid_sample import grid_sample_2d_patch
 from . import math_utils
-from .ray_marcher import march_rays
+from .ray_marcher import (march_rays, march_rays_3d, compute_weights_3d,
+                          midpoint_coefficients, finalize_composite_3d)
 
 
 def generate_plane_axes():
@@ -91,8 +104,8 @@ def sample_pdf(rng, bins, weights, n_importance, det=False, eps=1e-5):
         u = jax.random.uniform(rng, (nr, n_importance), dtype=jnp.float32)
 
     # searchsorted(side='right') as a vectorized comparison-count: the CDF is
-    # short (S-2 bins), so a [NR, S_imp, S-1] compare+sum beats the serial
-    # binary-search lowering on TPU by a wide margin.
+    # short, so a [NR, S_imp, W+1] compare+sum beats the serial binary-search
+    # lowering on TPU by a wide margin.
     inds = jnp.sum((cdf[:, None, :] <= u[:, :, None]).astype(jnp.int32), axis=-1)
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, n_weights)
@@ -107,75 +120,97 @@ def sample_pdf(rng, bins, weights, n_importance, det=False, eps=1e-5):
     return bins_g0 + (u - cdf_g0) / denom * (bins_g1 - bins_g0)
 
 
+def render_rays(run_model_fn, ray_origins, ray_directions, rendering_options,
+                rng=None, det=False):
+    """Core two-pass hierarchical renderer over an arbitrary field.
+
+    run_model_fn(coords `[N, M, 3]`, dirs `[N, M, 3]`) ->
+        {'rgb': `[N, M, C]`, 'sigma': `[N, M, 1]`}.
+    Returns (features `[N, R, C]`, depth `[N, R, 1]`, weight_sum `[N, R, 1]`).
+    """
+    if rendering_options["ray_start"] == rendering_options["ray_end"] == "auto":
+        ray_start, ray_end = math_utils.get_ray_limits_box(
+            ray_origins, ray_directions,
+            box_side_length=rendering_options["box_warp"])
+        is_valid = ray_end > ray_start
+        valid_start_min = jnp.min(jnp.where(is_valid, ray_start, jnp.inf))
+        valid_start_max = jnp.max(jnp.where(is_valid, ray_start, -jnp.inf))
+        ray_start = jnp.where(is_valid, ray_start, valid_start_min)
+        ray_end = jnp.where(is_valid, ray_end, valid_start_max)
+        ray_start = ray_start[..., 0]  # [N, R]
+        ray_end = ray_end[..., 0]
+    else:
+        ray_start = rendering_options["ray_start"]
+        ray_end = rendering_options["ray_end"]
+
+    rngs = jax.random.split(rng, 3) if rng is not None else [None] * 3
+    depths_coarse = ImportanceRenderer.sample_stratified(
+        rngs[0], ray_origins, ray_start, ray_end,
+        rendering_options["depth_resolution"],
+        rendering_options.get("disparity_space_sampling", False), det=det)
+    n, r, s_coarse = depths_coarse.shape
+
+    def eval_at(depths, s):
+        coords = (ray_origins[:, :, None, :]
+                  + depths[..., None] * ray_directions[:, :, None, :]) \
+            .reshape(n, r * s, 3)
+        dirs = jnp.broadcast_to(ray_directions[:, :, None, :],
+                                (n, r, s, 3)).reshape(n, r * s, 3)
+        out = run_model_fn(coords, dirs)
+        colors = out["rgb"].reshape(n, r, s, -1)
+        densities = out["sigma"].reshape(n, r, s)
+        return colors, densities
+
+    colors_coarse, densities_coarse = eval_at(depths_coarse, s_coarse)
+
+    n_imp = rendering_options["depth_resolution_importance"]
+    if n_imp <= 0:
+        rgb, depth, weights = march_rays_3d(colors_coarse, densities_coarse,
+                                            depths_coarse, rendering_options)
+        return rgb, depth[..., None], jnp.sum(weights, -1)[..., None]
+
+    weights = compute_weights_3d(densities_coarse, depths_coarse,
+                                 rendering_options)
+    depths_fine = ImportanceRenderer.sample_importance(
+        rngs[2], depths_coarse, weights, n_imp, det=det)
+    colors_fine, densities_fine = eval_at(depths_fine, n_imp)
+
+    # ---- merged compositing without materializing merged colors.
+    s2 = s_coarse + n_imp
+    all_depths = jnp.concatenate([depths_coarse, depths_fine], axis=-1)
+    all_densities = jnp.concatenate([densities_coarse, densities_fine], axis=-1)
+    iota = jnp.broadcast_to(jnp.arange(s2, dtype=jnp.int32), all_depths.shape)
+    d_sorted, sig_sorted, perm = jax.lax.sort(
+        (all_depths, all_densities, iota), dimension=-1, num_keys=1)
+    # merged rank of each original sample: invert the permutation by sorting
+    # (perm, iota) — another gather-free sorting network.
+    _, rank = jax.lax.sort((perm, iota), dimension=-1, num_keys=1)
+
+    w_merged = compute_weights_3d(sig_sorted, d_sorted, rendering_options)
+    coeff_merged = midpoint_coefficients(w_merged)  # [N, R, S2]
+    coeff = jnp.take_along_axis(coeff_merged, rank, axis=-1)  # original order
+
+    rgb = (jnp.einsum("nrs,nrsc->nrc", coeff[..., :s_coarse], colors_coarse)
+           + jnp.einsum("nrs,nrsc->nrc", coeff[..., s_coarse:], colors_fine))
+    weight_total = jnp.sum(w_merged, axis=-1)
+    depth = jnp.sum(coeff * all_depths, axis=-1) / weight_total
+    rgb, depth = finalize_composite_3d(rgb, depth, weight_total, all_depths,
+                                       rendering_options)
+    return rgb, depth[..., None], weight_total[..., None]
+
+
 class ImportanceRenderer:
-    """Coarse stratified pass -> importance resample -> unified fine pass
+    """Coarse stratified pass -> importance resample -> merged fine pass
     (ref `renderer.py:82-253`).  Decoder is a callable
     `decoder(sampled_features [N,3,M,C], directions [N,M,3]) ->
     {'rgb': [N,M,K], 'sigma': [N,M,1]}`."""
 
     def __call__(self, planes, decoder, ray_origins, ray_directions,
                  rendering_options, rng=None, det=False):
-        if rendering_options["ray_start"] == rendering_options["ray_end"] == "auto":
-            ray_start, ray_end = math_utils.get_ray_limits_box(
-                ray_origins, ray_directions,
-                box_side_length=rendering_options["box_warp"])
-            is_valid = ray_end > ray_start
-            # Invalid rays borrow the valid range (ref :94-96, vectorized).
-            valid_start_min = jnp.min(jnp.where(is_valid, ray_start, jnp.inf))
-            valid_start_max = jnp.max(jnp.where(is_valid, ray_start, -jnp.inf))
-            ray_start = jnp.where(is_valid, ray_start, valid_start_min)
-            ray_end = jnp.where(is_valid, ray_end, valid_start_max)
-        else:
-            ray_start = rendering_options["ray_start"]
-            ray_end = rendering_options["ray_end"]
-
-        rngs = jax.random.split(rng, 3) if rng is not None else [None] * 3
-        depths_coarse = self.sample_stratified(
-            rngs[0], ray_origins, ray_start, ray_end,
-            rendering_options["depth_resolution"],
-            rendering_options.get("disparity_space_sampling", False), det=det)
-
-        batch_size, num_rays, s_coarse, _ = depths_coarse.shape
-
-        coords = (ray_origins[:, :, None, :] +
-                  depths_coarse * ray_directions[:, :, None, :]).reshape(batch_size, -1, 3)
-        dirs = jnp.broadcast_to(
-            ray_directions[:, :, None, :],
-            (batch_size, num_rays, s_coarse, 3)).reshape(batch_size, -1, 3)
-
-        out = self.run_model(planes, decoder, coords, dirs, rendering_options,
-                             rng=rngs[1])
-        colors_coarse = out["rgb"].reshape(batch_size, num_rays, s_coarse, -1)
-        densities_coarse = out["sigma"].reshape(batch_size, num_rays, s_coarse, 1)
-
-        n_importance = rendering_options["depth_resolution_importance"]
-        if n_importance > 0:
-            _, _, weights = march_rays(colors_coarse, densities_coarse,
-                                       depths_coarse, rendering_options)
-            depths_fine = self.sample_importance(rngs[2], depths_coarse, weights,
-                                                 n_importance, det=det)
-
-            coords = (ray_origins[:, :, None, :] +
-                      depths_fine * ray_directions[:, :, None, :]).reshape(batch_size, -1, 3)
-            dirs = jnp.broadcast_to(
-                ray_directions[:, :, None, :],
-                (batch_size, num_rays, n_importance, 3)).reshape(batch_size, -1, 3)
-
-            out = self.run_model(planes, decoder, coords, dirs, rendering_options,
-                                 rng=rngs[1])
-            colors_fine = out["rgb"].reshape(batch_size, num_rays, n_importance, -1)
-            densities_fine = out["sigma"].reshape(batch_size, num_rays, n_importance, 1)
-
-            all_depths, all_colors, all_densities = self.unify_samples(
-                depths_coarse, colors_coarse, densities_coarse,
-                depths_fine, colors_fine, densities_fine)
-            rgb_final, depth_final, weights = march_rays(
-                all_colors, all_densities, all_depths, rendering_options)
-        else:
-            rgb_final, depth_final, weights = march_rays(
-                colors_coarse, densities_coarse, depths_coarse, rendering_options)
-
-        return rgb_final, depth_final, jnp.sum(weights, axis=2)
+        run = lambda coords, dirs: self.run_model(
+            planes, decoder, coords, dirs, rendering_options, rng=rng)
+        return render_rays(run, ray_origins, ray_directions, rendering_options,
+                           rng=rng, det=det)
 
     def run_model(self, planes, decoder, sample_coordinates, sample_directions,
                   options, rng=None):
@@ -219,30 +254,30 @@ class ImportanceRenderer:
     @staticmethod
     def sample_stratified(rng, ray_origins, ray_start, ray_end, depth_resolution,
                           disparity_space_sampling=False, det=False):
-        """Jittered uniform depths `[N, R, S, 1]` (ref `renderer.py:169-192`)."""
+        """Jittered uniform depths `[N, R, S]` (ref `renderer.py:169-192`)."""
         n, m, _ = ray_origins.shape
         if disparity_space_sampling:
             depths = jnp.broadcast_to(
-                jnp.linspace(0.0, 1.0, depth_resolution).reshape(1, 1, -1, 1),
-                (n, m, depth_resolution, 1))
+                jnp.linspace(0.0, 1.0, depth_resolution).reshape(1, 1, -1),
+                (n, m, depth_resolution))
             delta = 1 / (depth_resolution - 1)
             if not det:
                 depths = depths + jax.random.uniform(rng, depths.shape) * delta
             return 1.0 / (1.0 / ray_start * (1.0 - depths) + 1.0 / ray_end * depths)
 
         if isinstance(ray_start, jnp.ndarray) and ray_start.ndim > 0:
-            # Per-ray bounds from the auto box intersection, [N, M, 1].
-            depths = math_utils.linspace_batched(ray_start, ray_end, depth_resolution)
-            depths = jnp.transpose(depths, (1, 2, 0, 3))  # [N, M, S, 1]
-            delta = (ray_end - ray_start) / (depth_resolution - 1)  # [N, M, 1]
+            # Per-ray bounds from the auto box intersection, [N, M].
+            steps = jnp.linspace(0.0, 1.0, depth_resolution)
+            depths = ray_start[..., None] + steps * (ray_end - ray_start)[..., None]
+            delta = (ray_end - ray_start)[..., None] / (depth_resolution - 1)
             if not det:
-                depths = depths + jax.random.uniform(rng, depths.shape) * delta[..., None]
+                depths = depths + jax.random.uniform(rng, depths.shape) * delta
             return depths
 
         depths = jnp.broadcast_to(
             jnp.linspace(float(ray_start), float(ray_end),
-                         depth_resolution).reshape(1, 1, -1, 1),
-            (n, m, depth_resolution, 1))
+                         depth_resolution).reshape(1, 1, -1),
+            (n, m, depth_resolution))
         delta = (ray_end - ray_start) / (depth_resolution - 1)
         if not det:
             depths = depths + jax.random.uniform(rng, depths.shape) * delta
@@ -250,24 +285,22 @@ class ImportanceRenderer:
 
     @staticmethod
     def sample_importance(rng, z_vals, weights, n_importance, det=False):
-        """PDF-resampled depths `[N, R, S_imp, 1]` (ref `renderer.py:194-212`)."""
-        batch_size, num_rays, samples_per_ray, _ = z_vals.shape
-        z_flat = jax.lax.stop_gradient(z_vals).reshape(batch_size * num_rays,
-                                                       samples_per_ray)
-        w_flat = jax.lax.stop_gradient(weights).reshape(batch_size * num_rays, -1)
+        """PDF-resampled depths `[N, R, S_imp]` (ref `renderer.py:194-212`).
+
+        z_vals `[N, R, S]`, weights `[N, R, S-1]`."""
+        n, r, s = z_vals.shape
+        z_flat = jax.lax.stop_gradient(z_vals).reshape(n * r, s)
+        w_flat = jax.lax.stop_gradient(weights).reshape(n * r, -1)
         w_flat = _smooth_weights(w_flat) + 0.01
         z_mid = 0.5 * (z_flat[:, :-1] + z_flat[:, 1:])
         samples = sample_pdf(rng, z_mid, w_flat[:, 1:-1], n_importance, det=det)
-        return samples.reshape(batch_size, num_rays, n_importance, 1)
+        return samples.reshape(n, r, n_importance)
 
     @staticmethod
     def unify_samples(depths1, colors1, densities1, depths2, colors2, densities2):
-        """Merge + depth-sort coarse and fine samples (ref `renderer.py:157-167`).
-
-        TPU note: one argsort on the depth keys, then ONE gather over the
-        packed [depth|color|density] rows — a single wide-row gather instead
-        of three narrow ones (random-access on TPU HBM is transaction-bound,
-        so fewer, wider slices win)."""
+        """Reference-style merge returning sorted merged tensors
+        (`renderer.py:157-167`).  Kept for parity tests; the production path
+        in `render_rays` composites without materializing these."""
         all_depths = jnp.concatenate([depths1, depths2], axis=-2)
         all_colors = jnp.concatenate([colors1, colors2], axis=-2)
         all_densities = jnp.concatenate([densities1, densities2], axis=-2)

@@ -27,6 +27,9 @@ from ..utils.misc import tree_paths
 
 
 def save_checkpoint(path, state, config=None, step=None):
+    # to_state_dict converts optax NamedTuple states into plain dicts that
+    # msgpack can serialize; from_state_dict restores them on load.
+    state = serialization.to_state_dict(state)
     payload = {"state": jax.tree_util.tree_map(np.asarray, state)}
     if step is not None:
         payload["step"] = step
