@@ -70,6 +70,100 @@ def grid_sample_2d_patch(features, coords):
     return out.astype(features.dtype)
 
 
+def grid_sample_2d_blocked(features, coords):
+    """Bilinear sample with PADDING-FREE gathers (zeros padding semantics).
+
+    TPU tiling pads a gather output's last two dims to (8, 128); fetching a
+    2x2xC corner patch therefore moves 16x more HBM bytes than the texels
+    are worth.  This formulation makes every gathered row exactly 128 lanes:
+
+    - texels are packed P = 128//C per block: table row = [P*C] = 128 floats;
+    - a second, P//2-offset copy of each row guarantees any two x-adjacent
+      texels live inside ONE block (dual-offset table);
+    - per point, ONE row-gather per y-row (y0, y0+1), then the bilinear x
+      weights are applied as a P-tap einsum over the block (VPU-friendly),
+      and the two rows blend with the y weights.
+
+    vs `grid_sample_2d_patch`: ~8x less gather traffic (1 KB vs 8 KB per
+    point for C=32).  Exact same math (hat-weight formulation).
+
+    Args:
+        features: `[N, H, W, C]` with `W*C % 128 == 0` and `128 % C == 0`.
+        coords: `[N, M, 2]` in [-1, 1], (x, y).
+    Returns:
+        `[N, M, C]`.
+    """
+    n, h, w, c = features.shape
+    m = coords.shape[1]
+    assert 128 % c == 0 and (w * c) % 128 == 0
+    p = 128 // c  # texels per block
+    assert p >= 2 and w % p == 0
+
+    table = pack_plane_blocks(features)
+    return sample_packed_planes(table, (h, w, c), coords)
+
+
+def pack_plane_blocks(features):
+    """Build the dual-offset 128-lane block table for
+    :func:`sample_packed_planes`.  A blocks cover texels [p*k, p*k+p); B
+    blocks are offset by p//2 so any two x-adjacent texels are interior to
+    one block.  `[N, H, W, C]` -> `[N, H*BB, 128]`."""
+    n, h, w, c = features.shape
+    p = 128 // c
+    half = p // 2
+    k_b = (w - half) // p
+    blocks_a = features.reshape(n, h, w // p, p * c)
+    blocks_b = features[:, :, half:half + k_b * p, :].reshape(n, h, k_b, p * c)
+    table = jnp.concatenate([blocks_a, blocks_b], axis=2)  # [N, H, BB, 128]
+    return table.reshape(n, h * table.shape[2], p * c)
+
+
+def sample_packed_planes(table, hwc, coords):
+    """Bilinear sample from a packed block table (see
+    :func:`grid_sample_2d_blocked`)."""
+    h, w, c = hwc
+    n, m, _ = coords.shape
+    p = 128 // c
+    half = p // 2
+    k_b = (w - half) // p
+    bb = w // p + k_b
+
+    x = coords[..., 0].astype(jnp.float32)
+    y = coords[..., 1].astype(jnp.float32)
+    ix = (x + 1.0) * (w * 0.5) - 0.5
+    iy = (y + 1.0) * (h * 0.5) - 0.5
+    iy0 = jnp.clip(jnp.floor(iy).astype(jnp.int32), 0, h - 2)
+    ix0 = jnp.clip(jnp.floor(ix).astype(jnp.int32), 0, w - 2)
+
+    o = ix0 % p
+    use_b = o == (p - 1)
+    blk = jnp.where(use_b, (w // p) + (ix0 - half) // p, ix0 // p)
+    off = jnp.where(use_b, ix0 - ((ix0 - half) // p * p + half), o)
+
+    idx0 = iy0 * bb + blk          # row y0
+    idx1 = (iy0 + 1) * bb + blk    # row y1
+    rows = jnp.take_along_axis(
+        table, jnp.concatenate([idx0, idx1], axis=1)[..., None], axis=1)
+    rows = rows.reshape(n, 2, m, p, c)
+
+    # hat weights (exact zeros-padding semantics, see grid_sample_2d_patch)
+    tx0 = ix0.astype(jnp.float32)
+    ty0 = iy0.astype(jnp.float32)
+    wx0 = jnp.maximum(0.0, 1.0 - jnp.abs(ix - tx0))
+    wx1 = jnp.maximum(0.0, 1.0 - jnp.abs(ix - (tx0 + 1)))
+    wy0 = jnp.maximum(0.0, 1.0 - jnp.abs(iy - ty0))
+    wy1 = jnp.maximum(0.0, 1.0 - jnp.abs(iy - (ty0 + 1)))
+
+    taps = jnp.arange(p, dtype=jnp.int32)
+    w4 = (wx0[..., None] * (taps == off[..., None])
+          + wx1[..., None] * (taps == off[..., None] + 1))  # [N, M, P]
+
+    xblend0 = jnp.einsum("nmp,nmpc->nmc", w4, rows[:, 0].astype(jnp.float32))
+    xblend1 = jnp.einsum("nmp,nmpc->nmc", w4, rows[:, 1].astype(jnp.float32))
+    out = xblend0 * wy0[..., None] + xblend1 * wy1[..., None]
+    return out.astype(table.dtype)
+
+
 def grid_sample_2d(features, coords, padding_mode="zeros"):
     """Sample `features` at normalized `coords`.
 

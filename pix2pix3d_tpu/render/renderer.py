@@ -30,7 +30,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.grid_sample import grid_sample_2d_patch
+from ..ops.grid_sample import (grid_sample_2d_patch, pack_plane_blocks,
+                               sample_packed_planes)
 from . import math_utils
 from .ray_marcher import (march_rays, march_rays_3d, compute_weights_3d,
                           midpoint_coefficients, finalize_composite_3d)
@@ -79,6 +80,32 @@ def sample_from_planes(plane_features, coordinates, box_warp):
     return out.reshape(n, n_planes, m, c)
 
 
+def make_plane_sampler(plane_features, box_warp):
+    """Precompute the padding-free packed block table (once per plane set)
+    and return `coords [N, M, 3] -> features [N, 3, M, C]`.  Falls back to
+    the patch gather for block-incompatible shapes."""
+    n, n_planes, h, w, c = plane_features.shape
+    # NOTE: measured on v5e, the TPU gather unit is bound by SLICE COUNT
+    # (~40M slices/s) rather than bytes, so the single-slice 2x2xC patch
+    # gather beats the 2-slice padding-free block layout despite moving 16x
+    # more bytes.  The block path is kept for plane shapes whose patch
+    # would pad even worse; `use_blocked_sampler` opts in explicitly.
+    blocked = False
+    if not blocked:
+        return lambda coords: sample_from_planes(plane_features, coords,
+                                                 box_warp)
+    table = pack_plane_blocks(plane_features.reshape(n * n_planes, h, w, c))
+
+    def sample(coordinates):
+        m = coordinates.shape[1]
+        proj = project_onto_planes((2 / box_warp) * coordinates)
+        flat_coords = proj.reshape(n * n_planes, m, 2).astype(jnp.float32)
+        out = sample_packed_planes(table, (h, w, c), flat_coords)
+        return out.reshape(n, n_planes, m, c)
+
+    return sample
+
+
 def _smooth_weights(weights):
     """max-pool(2,1,pad 1) then avg-pool(2,1) along the sample axis
     (ref `renderer.py:204-207`).  weights: `[NR, L]` -> `[NR, L]`."""
@@ -110,10 +137,20 @@ def sample_pdf(rng, bins, weights, n_importance, det=False, eps=1e-5):
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, n_weights)
 
-    cdf_g0 = jnp.take_along_axis(cdf, below, axis=1)
-    cdf_g1 = jnp.take_along_axis(cdf, above, axis=1)
-    bins_g0 = jnp.take_along_axis(bins, below, axis=1)
-    bins_g1 = jnp.take_along_axis(bins, above, axis=1)
+    # The four bin/cdf lookups as one-hot contractions instead of lane-dim
+    # take_along_axis (the slow TPU gather path); the one-hot compare fuses
+    # into the dot on the VPU.
+    taps_cdf = jnp.arange(cdf.shape[1], dtype=jnp.int32)
+    taps_bins = jnp.arange(bins.shape[1], dtype=jnp.int32)
+
+    def pick(idx):
+        oh_c = (idx[:, :, None] == taps_cdf).astype(jnp.float32)
+        oh_b = (idx[:, :, None] == taps_bins).astype(jnp.float32)
+        return (jnp.einsum("rsw,rw->rs", oh_c, cdf),
+                jnp.einsum("rsw,rw->rs", oh_b, bins))
+
+    cdf_g0, bins_g0 = pick(below)
+    cdf_g1, bins_g1 = pick(above)
 
     denom = cdf_g1 - cdf_g0
     denom = jnp.where(denom < eps, 1.0, denom)
@@ -151,14 +188,18 @@ def render_rays(run_model_fn, ray_origins, ray_directions, rendering_options,
     n, r, s_coarse = depths_coarse.shape
 
     def eval_at(depths, s):
+        # Depth-major point order: consecutive points are ADJACENT RAYS at
+        # the same depth, which map to adjacent plane texels — the random
+        # gathers become spatially coherent and the HBM transactions batch.
+        # (Ray-major order makes consecutive points span the whole plane.)
         coords = (ray_origins[:, :, None, :]
-                  + depths[..., None] * ray_directions[:, :, None, :]) \
-            .reshape(n, r * s, 3)
-        dirs = jnp.broadcast_to(ray_directions[:, :, None, :],
-                                (n, r, s, 3)).reshape(n, r * s, 3)
+                  + depths[..., None] * ray_directions[:, :, None, :])
+        coords = coords.transpose(0, 2, 1, 3).reshape(n, s * r, 3)
+        dirs = jnp.broadcast_to(ray_directions[:, None, :, :],
+                                (n, s, r, 3)).reshape(n, s * r, 3)
         out = run_model_fn(coords, dirs)
-        colors = out["rgb"].reshape(n, r, s, -1)
-        densities = out["sigma"].reshape(n, r, s)
+        colors = out["rgb"].reshape(n, s, r, -1).transpose(0, 2, 1, 3)
+        densities = out["sigma"].reshape(n, s, r).transpose(0, 2, 1)
         return colors, densities
 
     colors_coarse, densities_coarse = eval_at(depths_coarse, s_coarse)
@@ -182,13 +223,13 @@ def render_rays(run_model_fn, ray_origins, ray_directions, rendering_options,
     iota = jnp.broadcast_to(jnp.arange(s2, dtype=jnp.int32), all_depths.shape)
     d_sorted, sig_sorted, perm = jax.lax.sort(
         (all_depths, all_densities, iota), dimension=-1, num_keys=1)
-    # merged rank of each original sample: invert the permutation by sorting
-    # (perm, iota) — another gather-free sorting network.
-    _, rank = jax.lax.sort((perm, iota), dimension=-1, num_keys=1)
 
     w_merged = compute_weights_3d(sig_sorted, d_sorted, rendering_options)
-    coeff_merged = midpoint_coefficients(w_merged)  # [N, R, S2]
-    coeff = jnp.take_along_axis(coeff_merged, rank, axis=-1)  # original order
+    coeff_merged = midpoint_coefficients(w_merged)  # [N, R, S2], sorted order
+    # Un-permute WITHOUT a gather: sorting (perm, coeff) by perm restores the
+    # original sample order through another vectorized sorting network
+    # (lane-dim take_along_axis is a slow path on TPU).
+    _, coeff = jax.lax.sort((perm, coeff_merged), dimension=-1, num_keys=1)
 
     rgb = (jnp.einsum("nrs,nrsc->nrc", coeff[..., :s_coarse], colors_coarse)
            + jnp.einsum("nrs,nrsc->nrc", coeff[..., s_coarse:], colors_fine))
@@ -221,14 +262,13 @@ class ImportanceRenderer:
         `lax.map` (serial chunks, each one big fused XLA program)."""
         chunk = int(options.get("point_chunk", 65536))
         n, m, _ = sample_coordinates.shape
-        # bf16 planes halve the per-patch gather bytes; decoder math stays
-        # f32 (features are cast back after the blend).
         if options.get("plane_dtype") == "bfloat16":
             planes = planes.astype(jnp.bfloat16)
+        # packed block table built ONCE, closed over by the chunked eval
+        sampler = make_plane_sampler(planes, options["box_warp"])
 
         def eval_points(coords, dirs):
-            feats = sample_from_planes(planes, coords,
-                                       box_warp=options["box_warp"])
+            feats = sampler(coords)
             return decoder(feats.astype(jnp.float32), dirs)
 
         if m <= chunk:
