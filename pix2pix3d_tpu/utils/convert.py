@@ -63,9 +63,12 @@ def convert_state_dict(state_dict, params_template):
         v = sd[name]
         target_shape = tuple(leaf.shape)
 
-        if path[-1] in ("w_avg", "noise_const"):
-            pass  # buffers keep their reference layout (w_avg may be 2D,
-                  # noise_const is a square [H, W] map — do NOT transpose)
+        if path[-1] in ("w_avg", "noise_const", "freqs", "phases", "transform") \
+                or path[-2:] == ("input", "weight"):
+            # buffers / StyleGAN3 SynthesisInput keep the reference layout
+            # (w_avg may be 2D, noise_const is square, input.weight is
+            # applied as x @ W.T on both sides)
+            pass
         elif v.ndim == 4:
             v = np.transpose(v, (2, 3, 1, 0))
         elif v.ndim == 3:
