@@ -8,6 +8,8 @@ from . import metric_utils
 from .frechet_inception_distance import compute_fid
 from .kernel_inception_distance import compute_kid
 from .miou import compute_miou
+from .precision_recall import compute_pr
+from .perceptual_path_length import compute_ppl
 
 _metric_dict = {}
 
@@ -54,6 +56,26 @@ def kid50k_full(opts):
 @register_metric
 def kid2k(opts):
     return {"kid2k": compute_kid(opts, max_real=2000, num_gen=2000)}
+
+
+@register_metric
+def pr50k3_full(opts):
+    return compute_pr(opts, max_real=200000, num_gen=50000, nhood_size=3)
+
+
+@register_metric
+def pr2k(opts):
+    return compute_pr(opts, max_real=2000, num_gen=2000, nhood_size=3)
+
+
+@register_metric
+def ppl2_wend(opts):
+    return {"ppl2_wend": compute_ppl(opts, num_samples=50000)}
+
+
+@register_metric
+def ppl2_wend_small(opts):
+    return {"ppl2_wend_small": compute_ppl(opts, num_samples=500)}
 
 
 @register_metric

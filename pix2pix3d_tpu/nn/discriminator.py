@@ -243,16 +243,24 @@ class DualDiscriminator(_DiscriminatorBase):
     """Dual discrimination over [image, upsampled raw render] channel concat
     (ref `dual_discriminator.py:107-175`).  The semantic discriminator
     `D_semantic` is this same class built with
-    img_channels = rgb + semantic channels (ref `training_loop.py:308`)."""
+    img_channels = rgb + semantic channels (ref `training_loop.py:308`).
+
+    `raw_fade` (traced scalar, default 1) scales the raw branch; scheduling
+    it toward 0 reproduces `DummyDualDiscriminator`
+    (ref `dual_discriminator.py:180-248`, a stateful per-forward counter
+    there — here the schedule is explicit like blur_sigma)."""
 
     def __init__(self, c_dim, img_resolution, img_channels, disc_c_noise=0, **kwargs):
         super().__init__(c_dim, img_resolution, img_channels * 2, **kwargs)
         self.disc_c_noise = disc_c_noise
         self.resample_filter = setup_filter([1, 3, 3, 1])
 
-    def __call__(self, params, img, c, force_fp32=False, rng=None, **unused_kwargs):
+    def __call__(self, params, img, c, force_fp32=False, rng=None, raw_fade=1.0,
+                 **unused_kwargs):
         image_raw = filtered_resizing(img["image_raw"], size=img["image"].shape[1],
                                       f=self.resample_filter)
+        if raw_fade is not None and raw_fade != 1.0:
+            image_raw = image_raw * raw_fade
         x = jnp.concatenate([img["image"], image_raw], axis=-1)
 
         trunk_x = None
