@@ -29,6 +29,9 @@ def main():
     import jax.numpy as jnp
     from pix2pix3d_tpu import config as cfg_mod
     from pix2pix3d_tpu.models import build_generator
+    from pix2pix3d_tpu.ops.precision import fast_f32
+
+    fast_f32(True)  # inference mode: bf16-compute convs (f32 accumulate)
     from pix2pix3d_tpu.render.camera import (LookAtPoseSampler,
                                              fov_to_intrinsics,
                                              pose_to_conditioning)

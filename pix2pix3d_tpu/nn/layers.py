@@ -68,8 +68,8 @@ class FullyConnected:
             b = b.astype(x.dtype)
             if self.bias_gain != 1:
                 b = b * jnp.asarray(self.bias_gain, x.dtype)
-        precision = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
-                     else jax.lax.Precision.DEFAULT)
+        from ..ops.precision import conv_precision
+        precision = conv_precision(x.dtype)
         y = jnp.dot(x, w, precision=precision, preferred_element_type=jnp.float32)
         y = y.astype(x.dtype)
         return bias_act(y, b, dim=-1, act=self.activation)

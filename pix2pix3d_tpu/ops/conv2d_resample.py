@@ -27,11 +27,11 @@ def _conv2d(x, w, stride=1, padding=((0, 0), (0, 0)), groups=1, flip_weight=True
     Precision: float32 inputs run at HIGHEST (full f32 MXU passes) so results
     match the reference bit-for-bit-ish; bf16 inputs use the fast MXU path.
     """
+    from .precision import conv_precision
+
     if not flip_weight and (w.shape[0] > 1 or w.shape[1] > 1):
         w = jnp.flip(w, axis=(0, 1))
-    precision = (
-        jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
-    )
+    precision = conv_precision(x.dtype)
     out = jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
