@@ -23,6 +23,11 @@ def generate_sample(G, params, app, mask, pose, z=None, seed=0,
     """mask `[H, W, 1]` raw (seg labels / edge uint8), pose `[25]`."""
     if z is None:
         z = jax.random.normal(jax.random.PRNGKey(seed), (1, G.z_dim))
+    expected = G.backbone.mapping.in_resolution
+    if mask.shape[0] != expected or mask.shape[1] != expected:
+        raise ValueError(
+            f"input mask is {mask.shape[0]}x{mask.shape[1]} but this model "
+            f"expects {expected}x{expected}; resize the label map first")
     mask_in = jnp.asarray(mask, jnp.float32)[None]
     if G.data_type == "edge":
         mask_in = -(mask_in / 127.5 - 1)
