@@ -114,15 +114,29 @@ def load_reference_pickle(path):
     import torch
 
     class _Shell:
+        """Inert stand-in for any blocked class/callable: records constructor
+        args, __setstate__ state, and dict items without executing anything."""
+
+        # NOTE: pickle may instantiate via __new__ without __init__
+        # (NEWOBJ), so every access defaults lazily.
         def __init__(self, *a, **k):
-            self.__dict__["_fields"] = {}
+            self.__dict__["_args"] = a
+
+        def _f(self):
+            return self.__dict__.setdefault("_fields", {})
 
         def __setstate__(self, state):
-            self.__dict__["_fields"] = state if isinstance(state, dict) else {}
+            if isinstance(state, dict):
+                self._f().update(state)
+            else:
+                self._f()["__state__"] = state
+
+        def __setitem__(self, k, v):
+            self._f()[k] = v
 
         def __getattr__(self, k):
             try:
-                return self.__dict__["_fields"][k]
+                return self.__dict__.setdefault("_fields", {})[k]
             except KeyError:
                 raise AttributeError(k)
 
@@ -132,6 +146,9 @@ def load_reference_pickle(path):
             ("torch._utils", "_rebuild_tensor_v2"),
             ("torch._utils", "_rebuild_parameter"),
             ("torch", "Size"),
+            # legacy (non-zip) torch pickles embed tensor data behind this
+            # torch-internal byte parser
+            ("torch.storage", "_load_from_bytes"),
             ("numpy", "ndarray"),
             ("numpy", "dtype"),
             ("numpy.core.multiarray", "_reconstruct"),
@@ -153,26 +170,42 @@ def load_reference_pickle(path):
 
     with open(path, "rb") as f:
         data = f.read()
-    # Released pkls are legacy (non-zip) torch pickles of a dict of modules;
-    # torch.load with a custom unpickler via pickle_module shim:
-    class _PickleShim:
-        Unpickler = _RestrictedUnpickler
-        load = staticmethod(lambda f, **kw: _RestrictedUnpickler(f).load())
+    # Released pkls are PLAIN pickles of a module dict (the reference's
+    # training_loop uses pickle.dump, not torch.save); tensors inside embed
+    # torch-format byte blobs restored by torch.storage._load_from_bytes.
+    obj = _RestrictedUnpickler(io.BytesIO(data)).load()
 
-    obj = torch.load(io.BytesIO(data), map_location="cpu",
-                     pickle_module=_PickleShim, weights_only=False)
+    def module_fields(obj):
+        """Resolve a (possibly shelled) torch module to its __dict__-like
+        state.  Persistence-decorated modules pickle as
+        `_reconstruct_persistent_obj(meta)` -> the state lives inside
+        `meta['state']`; plain nn.Modules carry it via __setstate__."""
+        if isinstance(obj, _Shell):
+            args = obj.__dict__.get("_args", ())
+            if args:
+                meta = args[0]
+                m = (meta.__dict__.get("_fields", {})
+                     if isinstance(meta, _Shell) else meta)
+                if isinstance(m, dict) and "state" in m:
+                    state = m["state"]
+                    if isinstance(state, _Shell):
+                        return state.__dict__.get("_fields", {})
+                    if isinstance(state, dict):
+                        return state
+            return obj.__dict__.get("_fields", {})
+        if isinstance(obj, dict):
+            return obj
+        return {}
 
     def extract_state(shell, prefix=""):
         out = {}
-        fields = getattr(shell, "_fields", None)
-        if fields is None:
-            return out
+        fields = module_fields(shell)
         for k, v in fields.items():
-            if k in ("_parameters", "_buffers"):
+            if k in ("_parameters", "_buffers") and isinstance(v, dict):
                 for pk, pv in v.items():
                     if pv is not None and hasattr(pv, "shape"):
                         out[prefix + pk] = pv
-            elif k == "_modules":
+            elif k == "_modules" and isinstance(v, dict):
                 for mk, mv in v.items():
                     out.update(extract_state(mv, prefix + mk + "."))
         return out
