@@ -393,6 +393,16 @@ class TriPlaneSemanticEntangleGenerator(_TriPlaneBase):
                 "image_depth": depth_image, "semantic": sr_semantic,
                 "semantic_raw": semantic_image, "planes": planes}
 
+    def sample(self, params, coordinates, directions, z, c, batch,
+               truncation_psi=1.0, truncation_cutoff=None, **synthesis_kwargs):
+        """Field evaluation from (z, mask) inputs (ref `triplane_cond.py
+        :1063-1068`): mapping then point evaluation."""
+        ws = self.mapping(params, z, batch["pose"], batch,
+                          truncation_psi=truncation_psi,
+                          truncation_cutoff=truncation_cutoff)
+        return self.sample_mixed(params, coordinates, directions, ws,
+                                 **synthesis_kwargs)
+
     def sample_mixed(self, params, coordinates, directions, ws, noise_mode="const",
                      rng=None, force_fp32=False):
         """Evaluate the neural field at arbitrary 3D coords

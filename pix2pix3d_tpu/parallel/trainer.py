@@ -61,7 +61,7 @@ class Trainer:
     def __init__(self, loss: Pix2Pix3DLoss, *, g_lr=0.0025, d_lr=0.002,
                  betas=(0.0, 0.99), eps=1e-8, g_reg_interval: Optional[int] = 4,
                  d_reg_interval: Optional[int] = 16, mesh: Optional[Mesh] = None,
-                 axis="data"):
+                 axis="data", grad_accum_rounds=1):
         self.loss = loss
         self.G = loss.G
         self.D = loss.D
@@ -70,6 +70,11 @@ class Trainer:
         self.d_reg_interval = d_reg_interval
         self.mesh = mesh if mesh is not None else make_mesh()
         self.axis = axis
+        # Gradient accumulation (ref `batch_gpu` micro-batch rounds,
+        # `training_loop.py:521-525`): per-device batch is split into
+        # `grad_accum_rounds` micro-batches whose mean-loss grads are SUMMED
+        # before the optimizer step, matching the reference's scaling.
+        self.grad_accum_rounds = int(grad_accum_rounds)
         self.opt_g = _lazy_adam(g_lr, betas, eps, g_reg_interval)
         self.opt_d = _lazy_adam(d_lr, betas, eps, d_reg_interval)
         self.opt_dsem = _lazy_adam(d_lr, betas, eps, d_reg_interval)
@@ -95,9 +100,26 @@ class Trainer:
 
     # ------------------------------------------------------------------ step
     def _phase_update(self, loss_fn, params, opt, opt_state, gain, axis):
-        """grad -> psum-mean -> nan_to_num -> adam.  Returns new params/opt
-        plus the phase's aux outputs."""
-        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        """grad (accumulated over micro-batch rounds) -> psum-mean ->
+        nan_to_num -> adam.  Returns new params/opt plus the phase's aux
+        outputs.  `loss_fn(params, round_idx)` sees one micro-batch."""
+        rounds = self.grad_accum_rounds
+        if rounds <= 1:
+            (_, aux), grads = jax.value_and_grad(
+                lambda p: loss_fn(p, 0), has_aux=True)(params)
+        else:
+            def body(carry, r):
+                g_acc = carry
+                (_, aux_r), g = jax.value_and_grad(
+                    lambda p: loss_fn(p, r), has_aux=True)(params)
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                return g_acc, aux_r
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+            grads, auxs = jax.lax.scan(body, zeros, jnp.arange(rounds))
+            # every aux leaf is scan-stacked [rounds, ...]; phases emit
+            # summable aux (stat moments; ws pre-divided by rounds)
+            aux = jax.tree_util.tree_map(lambda a: jnp.sum(a, 0), auxs)
         grads = jax.tree_util.tree_map(
             lambda g: jax.lax.pmean(g * gain, axis), grads)
         grads = _nan_to_num(grads)
@@ -113,6 +135,16 @@ class Trainer:
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
         rngs = jax.random.split(rng, 6)
         stats = {}
+        rounds = self.grad_accum_rounds
+        mb_size = batch["pose"].shape[0] // rounds
+
+        def mb(tree, r):
+            """Micro-batch slice for accumulation round r."""
+            if rounds <= 1:
+                return tree
+            return jax.tree_util.tree_map(
+                lambda x: jax.lax.dynamic_slice_in_dim(x, r * mb_size, mb_size,
+                                                       axis=0), tree)
 
         def add_stats(d):
             for k, v in d.items():
@@ -121,37 +153,44 @@ class Trainer:
         dsem = state.get("D_semantic")
 
         # --- Gmain
-        def gmain(p):
-            l, s = loss.g_main(p, state["D"], dsem, batch, gen_z[0], gen_c[0],
-                               rngs[0], blur_sigma, nrr)
-            return l, s
+        def gmain(p, r):
+            return loss.g_main(p, state["D"], dsem, mb(batch, r),
+                               mb(gen_z[0], r), mb(gen_c[0], r),
+                               jax.random.fold_in(rngs[0], r), blur_sigma, nrr)
         state["G"], state["opt_G"], s = self._phase_update(
             gmain, state["G"], self.opt_g, state["opt_G"], 1.0, axis)
         add_stats(s)
 
         # --- Greg (density regularization)
         if do_greg:
-            def greg(p):
-                return loss.g_reg(p, batch, gen_z[1], rngs[1])
+            def greg(p, r):
+                return loss.g_reg(p, mb(batch, r), mb(gen_z[1], r),
+                                  jax.random.fold_in(rngs[1], r))
             state["G"], state["opt_G"], s = self._phase_update(
                 greg, state["G"], self.opt_g, state["opt_G"],
                 float(self.g_reg_interval), axis)
             add_stats(s)
 
         # --- Dmain (also carries the w_avg update, ref loss.py:846)
-        def dmain(p):
-            l, (s, aux) = loss.d_main(p, state["G"], batch, gen_z[2], gen_c[2],
-                                      rngs[2], blur_sigma, nrr)
-            return l, (s, aux)
-        state["D"], state["opt_D"], (s, aux) = self._phase_update(
+        def dmain(p, r):
+            l, (s, aux) = loss.d_main(p, state["G"], mb(batch, r),
+                                      mb(gen_z[2], r), mb(gen_c[2], r),
+                                      jax.random.fold_in(rngs[2], r),
+                                      blur_sigma, nrr)
+            # reduce ws inside the round so accumulation can sum it
+            return l, dict(s, **{"_ws_mean": jnp.mean(aux["ws"], axis=0)
+                                 / rounds})
+        state["D"], state["opt_D"], s = self._phase_update(
             dmain, state["D"], self.opt_d, state["opt_D"], 1.0, axis)
+        ws_mean = s.pop("_ws_mean")
         add_stats(s)
-        state["G"] = self._apply_w_avg(state["G"], aux["ws"], axis)
+        state["G"] = self._apply_w_avg(state["G"], ws_mean, axis)
 
         # --- Dreg (R1)
         if do_dreg and loss.r1_gamma > 0:
-            def dreg(p):
-                return loss.d_r1(p, batch, rngs[3], blur_sigma, nrr)
+            def dreg(p, r):
+                return loss.d_r1(p, mb(batch, r),
+                                 jax.random.fold_in(rngs[3], r), blur_sigma, nrr)
             state["D"], state["opt_D"], s = self._phase_update(
                 dreg, state["D"], self.opt_d, state["opt_D"],
                 float(self.d_reg_interval), axis)
@@ -159,17 +198,21 @@ class Trainer:
 
         # --- D_semantic phases
         if dsem is not None:
-            def dsmain(p):
-                return loss.d_semantic_main(p, state["G"], batch, gen_z[3],
-                                            gen_c[3], rngs[4], blur_sigma, nrr)
+            def dsmain(p, r):
+                return loss.d_semantic_main(p, state["G"], mb(batch, r),
+                                            mb(gen_z[3], r), mb(gen_c[3], r),
+                                            jax.random.fold_in(rngs[4], r),
+                                            blur_sigma, nrr)
             state["D_semantic"], state["opt_D_semantic"], s = self._phase_update(
                 dsmain, state["D_semantic"], self.opt_dsem,
                 state["opt_D_semantic"], 1.0, axis)
             add_stats(s)
 
             if do_dsemreg and loss.r1_gamma > 0:
-                def dsreg(p):
-                    return loss.d_semantic_r1(p, batch, rngs[5], blur_sigma, nrr)
+                def dsreg(p, r):
+                    return loss.d_semantic_r1(p, mb(batch, r),
+                                              jax.random.fold_in(rngs[5], r),
+                                              blur_sigma, nrr)
                 state["D_semantic"], state["opt_D_semantic"], s = self._phase_update(
                     dsreg, state["D_semantic"], self.opt_dsem,
                     state["opt_D_semantic"], float(self.d_reg_interval), axis)
@@ -182,15 +225,15 @@ class Trainer:
         stats = {k: jax.lax.psum(v, axis) for k, v in stats.items()}
         return state, stats
 
-    def _apply_w_avg(self, params_g, ws, axis):
-        """Update the conditional mapping's w_avg from the D-phase ws
-        (cross-replica mean, matching the reference's per-replica update then
-        implicit divergence — we keep replicas identical instead)."""
+    def _apply_w_avg(self, params_g, ws_mean, axis):
+        """Update the conditional mapping's w_avg from the D-phase batch-mean
+        ws `[num_ws, w_dim]` (cross-replica mean; the reference updates
+        per-replica and lets them diverge — we keep replicas identical)."""
         mapping = self.G.backbone.mapping
         mp = params_g["backbone"]["mapping"]
         if "w_avg" not in mp:
             return params_g
-        ws_mean = jax.lax.pmean(jnp.mean(ws, axis=0), axis)
+        ws_mean = jax.lax.pmean(ws_mean, axis)
         if mp["w_avg"].ndim == 1 and ws_mean.ndim == 2:
             ws_mean = ws_mean[0]
         beta = mapping.w_avg_beta

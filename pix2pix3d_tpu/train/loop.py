@@ -43,6 +43,8 @@ def training_loop(
     g_reg_interval=4,
     d_reg_interval=16,
     batch_size=4,
+    batch_gpu=None,             # per-device micro-batch (ref --batch-gpu);
+                                # None = whole per-device batch, no accumulation
     ema_kimg=None,              # None -> batch_size * 10 / 32 (ref train.py:372)
     ema_rampup=0.05,
     total_kimg=25000,
@@ -85,9 +87,12 @@ def training_loop(
     lpips = LPIPS(weights_path=lpips_weights)
     loss = Pix2Pix3DLoss(G, D, D_semantic=D_sem, lpips=lpips,
                          **(loss_kwargs or {}))
+    per_device = batch_size // num_devices
+    rounds = 1 if batch_gpu is None else max(per_device // batch_gpu, 1)
     trainer = Trainer(loss, g_lr=g_lr, d_lr=d_lr,
                       g_reg_interval=g_reg_interval,
-                      d_reg_interval=d_reg_interval, mesh=mesh)
+                      d_reg_interval=d_reg_interval, mesh=mesh,
+                      grad_accum_rounds=rounds)
 
     # State init / resume.
     state = trainer.init_state(jax.random.PRNGKey(random_seed))

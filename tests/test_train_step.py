@@ -114,3 +114,20 @@ def test_full_train_step():
     ema2 = np.asarray(state["G_ema"]["backbone"]["synthesis"]["b4"]["conv1"]["weight"])
     assert np.isfinite(g2).all()
     assert not np.allclose(ema2, g2)
+
+
+@pytest.mark.slow
+def test_grad_accumulation_runs():
+    """rounds=2 micro-batching (ref batch_gpu rounds) produces finite updates."""
+    G, D, D_sem, loss = tiny_setup()
+    trainer = Trainer(loss, mesh=make_mesh(), g_reg_interval=4,
+                      d_reg_interval=16, grad_accum_rounds=2)
+    state = trainer.init_state(jax.random.PRNGKey(3))
+    batch, gen_z, gen_c = make_batch(rng_seed=1)
+    state, stats = trainer.step(state, batch, gen_z, gen_c,
+                                jax.random.PRNGKey(4), step_idx=1,
+                                cur_nimg=100_000, batch_size=B)
+    g = np.asarray(state["G"]["backbone"]["synthesis"]["b4"]["conv1"]["weight"])
+    assert np.isfinite(g).all()
+    for key in ("Loss/G/loss", "Loss/D/loss"):
+        assert np.isfinite(np.asarray(stats[key])).all()

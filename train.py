@@ -34,6 +34,7 @@ def main():
     p.add_argument("--data_type", default="seg", choices=["seg", "edge"])
     p.add_argument("--batch", type=int, required=True)
     p.add_argument("--gamma", type=float, required=True)
+    p.add_argument("--batch-gpu", dest="batch_gpu", type=int, default=None)
     # Optional features
     p.add_argument("--cond", type=parse_bool, default=True)
     p.add_argument("--mirror", type=parse_bool, default=False)
@@ -152,7 +153,8 @@ def main():
         g_lr=args.glr if args.glr is not None else 0.0025,
         d_lr=args.dlr,
         g_reg_interval=args.density_reg_every if args.density_reg > 0 else None,
-        batch_size=args.batch, total_kimg=args.kimg, kimg_per_tick=args.tick,
+        batch_size=args.batch, batch_gpu=args.batch_gpu,
+        total_kimg=args.kimg, kimg_per_tick=args.tick,
         snapshot_ticks=args.snap, image_snapshot_ticks=args.snap,
         random_seed=args.seed, resume_path=args.resume,
         lpips_weights=args.lpips_weights,
