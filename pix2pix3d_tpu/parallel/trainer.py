@@ -128,7 +128,8 @@ class Trainer:
         return params, opt_state, aux
 
     def _device_step(self, state, batch, gen_z, gen_c, rng, ema_beta,
-                     do_greg, do_dreg, do_dsemreg, blur_sigma, nrr):
+                     do_greg, do_dreg, do_dsemreg, blur_sigma, nrr,
+                     aug_p=None):
         """One full training iteration on one device's shard."""
         axis = self.axis
         loss = self.loss
@@ -156,7 +157,8 @@ class Trainer:
         def gmain(p, r):
             return loss.g_main(p, state["D"], dsem, mb(batch, r),
                                mb(gen_z[0], r), mb(gen_c[0], r),
-                               jax.random.fold_in(rngs[0], r), blur_sigma, nrr)
+                               jax.random.fold_in(rngs[0], r), blur_sigma, nrr,
+                               aug_p=aug_p)
         state["G"], state["opt_G"], s = self._phase_update(
             gmain, state["G"], self.opt_g, state["opt_G"], 1.0, axis)
         add_stats(s)
@@ -176,7 +178,7 @@ class Trainer:
             l, (s, aux) = loss.d_main(p, state["G"], mb(batch, r),
                                       mb(gen_z[2], r), mb(gen_c[2], r),
                                       jax.random.fold_in(rngs[2], r),
-                                      blur_sigma, nrr)
+                                      blur_sigma, nrr, aug_p=aug_p)
             # reduce ws inside the round so accumulation can sum it
             return l, dict(s, **{"_ws_mean": jnp.mean(aux["ws"], axis=0)
                                  / rounds})
@@ -190,7 +192,8 @@ class Trainer:
         if do_dreg and loss.r1_gamma > 0:
             def dreg(p, r):
                 return loss.d_r1(p, mb(batch, r),
-                                 jax.random.fold_in(rngs[3], r), blur_sigma, nrr)
+                                 jax.random.fold_in(rngs[3], r), blur_sigma, nrr,
+                                 aug_p=aug_p)
             state["D"], state["opt_D"], s = self._phase_update(
                 dreg, state["D"], self.opt_d, state["opt_D"],
                 float(self.d_reg_interval), axis)
@@ -202,7 +205,7 @@ class Trainer:
                 return loss.d_semantic_main(p, state["G"], mb(batch, r),
                                             mb(gen_z[3], r), mb(gen_c[3], r),
                                             jax.random.fold_in(rngs[4], r),
-                                            blur_sigma, nrr)
+                                            blur_sigma, nrr, aug_p=aug_p)
             state["D_semantic"], state["opt_D_semantic"], s = self._phase_update(
                 dsmain, state["D_semantic"], self.opt_dsem,
                 state["opt_D_semantic"], 1.0, axis)
@@ -212,7 +215,7 @@ class Trainer:
                 def dsreg(p, r):
                     return loss.d_semantic_r1(p, mb(batch, r),
                                               jax.random.fold_in(rngs[5], r),
-                                              blur_sigma, nrr)
+                                              blur_sigma, nrr, aug_p=aug_p)
                 state["D_semantic"], state["opt_D_semantic"], s = self._phase_update(
                     dsreg, state["D_semantic"], self.opt_dsem,
                     state["opt_D_semantic"], float(self.d_reg_interval), axis)
@@ -259,9 +262,18 @@ class Trainer:
                                do_dreg=do_dreg, do_dsemreg=do_dsemreg,
                                blur_sigma=blur_sigma, nrr=nrr)
 
+        # Only thread the ADA probability through the traced signature when
+        # an augment pipe exists (keeps no-aug programs byte-identical and
+        # their compile cache warm).
+        has_aug = self.loss.augment_pipe is not None
+        in_specs = (rep, data, phase_data, phase_data, rep, rep)
+        if has_aug:
+            in_specs = in_specs + (rep,)
+        else:
+            fn = functools.partial(fn, aug_p=None)
         sharded = jax.shard_map(
             fn, mesh=self.mesh,
-            in_specs=(rep, data, phase_data, phase_data, rep, rep),
+            in_specs=in_specs,
             out_specs=(rep, rep),
             check_vma=False)
         jitted = jax.jit(sharded)
@@ -269,7 +281,7 @@ class Trainer:
         return jitted
 
     def step(self, state, batch, gen_z, gen_c, rng, *, step_idx, cur_nimg,
-             batch_size, ema_kimg=10, ema_rampup=0.05):
+             batch_size, ema_kimg=10, ema_rampup=0.05, aug_p=0.0):
         """Host API: run one full training iteration.
 
         batch: dict of arrays sharded on the leading (batch) dim.
@@ -285,5 +297,8 @@ class Trainer:
         step_fn = self.make_step(do_greg, do_dreg, do_dreg,
                                  sched["blur_sigma"],
                                  sched["neural_rendering_resolution"])
-        return step_fn(state, batch, gen_z, gen_c, rng,
-                       jnp.asarray(beta, jnp.float32))
+        args = (state, batch, gen_z, gen_c, rng,
+                jnp.asarray(beta, jnp.float32))
+        if self.loss.augment_pipe is not None:
+            args = args + (jnp.asarray(aug_p, jnp.float32),)
+        return step_fn(*args)

@@ -38,6 +38,11 @@ def training_loop(
     d_kwargs=None,              # DualDiscriminator extra kwargs
     loss_kwargs=None,           # Pix2Pix3DLoss kwargs
     use_d_semantic=True,
+    augment_kwargs=None,        # AugmentPipe kwargs; None = no augmentation
+    augment_p=0.0,              # initial/fixed ADA probability
+    ada_target=None,            # None = fixed p; else ADA heuristic target
+    ada_interval=4,
+    ada_kimg=500,
     g_lr=0.0025,
     d_lr=0.002,
     g_reg_interval=4,
@@ -85,7 +90,12 @@ def training_loop(
         if use_d_semantic else None
 
     lpips = LPIPS(weights_path=lpips_weights)
+    augment_pipe = None
+    if augment_kwargs is not None:
+        from .augment import AugmentPipe
+        augment_pipe = AugmentPipe(**augment_kwargs)
     loss = Pix2Pix3DLoss(G, D, D_semantic=D_sem, lpips=lpips,
+                         augment_pipe=augment_pipe,
                          **(loss_kwargs or {}))
     per_device = batch_size // num_devices
     rounds = 1 if batch_gpu is None else max(per_device // batch_gpu, 1)
@@ -154,10 +164,21 @@ def training_loop(
         state, stats = trainer.step(state, batch_dev, gen_z, gen_c, k_step,
                                     step_idx=step_idx, cur_nimg=cur_nimg,
                                     batch_size=batch_size, ema_kimg=ema_kimg,
-                                    ema_rampup=ema_rampup)
+                                    ema_rampup=ema_rampup, aug_p=augment_p)
         collector.update(jax.tree_util.tree_map(np.asarray, stats))
         cur_nimg += batch_size
         step_idx += 1
+
+        # ADA heuristic (ref training_loop.py:566-569)
+        if (augment_pipe is not None and ada_target is not None
+                and step_idx % ada_interval == 0):
+            from .augment import ada_update_p
+            signs = collector.mean("Loss/signs/real")
+            if np.isfinite(signs):
+                augment_p = ada_update_p(augment_p, signs, batch_size,
+                                         ada_interval=ada_interval,
+                                         ada_kimg=ada_kimg,
+                                         ada_target=ada_target)
 
         done = cur_nimg >= total_kimg * 1000
         if (not done) and (cur_nimg < tick_start_nimg + kimg_per_tick * 1000):
@@ -173,6 +194,7 @@ def training_loop(
             "Timing/sec_per_kimg":
                 tick_time / max((cur_nimg - tick_start_nimg) / 1e3, 1e-8),
             "Timing/total_sec": time.time() - start_time,
+            "Progress/augment_p": augment_p,
         }
         fields.update(means)
         stats_jsonl.write(json.dumps(fields) + "\n")

@@ -152,15 +152,32 @@ class Pix2Pix3DLoss:
                                noise_mode="random")
         return out, ws
 
-    def run_D(self, params_d, img, c, blur_sigma, rng=None):
+    def _augment_pair(self, image, image_raw, rng, aug_p):
+        """ADA on [image | upsampled raw] together, raw resized back
+        (ref `loss.py:99-107`)."""
+        c = image.shape[-1]
+        raw_res = image_raw.shape[1]
+        up_raw = resize_bilinear(image_raw, image.shape[1], antialias=True)
+        pair = jnp.concatenate([image, up_raw], axis=-1)
+        pair = self.augment_pipe(rng, pair, aug_p)
+        return pair[..., :c], resize_bilinear(pair[..., c:], raw_res,
+                                              antialias=True)
+
+    def run_D(self, params_d, img, c, blur_sigma, rng=None, aug=None):
         image = self._blur(img["image"], blur_sigma)
-        return self.D(params_d, {"image": image, "image_raw": img["image_raw"]},
+        image_raw = img["image_raw"]
+        if self.augment_pipe is not None and aug is not None:
+            image, image_raw = self._augment_pair(image, image_raw, *aug)
+        return self.D(params_d, {"image": image, "image_raw": image_raw},
                       c, rng=rng)
 
-    def run_D_semantic(self, params_dsem, img, c, blur_sigma, rng=None):
+    def run_D_semantic(self, params_dsem, img, c, blur_sigma, rng=None, aug=None):
         image = self._blur(img["image"], blur_sigma)
+        image_raw = img["image_raw"]
+        if self.augment_pipe is not None and aug is not None:
+            image, image_raw = self._augment_pair(image, image_raw, *aug)
         return self.D_semantic(params_dsem,
-                               {"image": image, "image_raw": img["image_raw"]},
+                               {"image": image, "image_raw": image_raw},
                                c, rng=rng)
 
     def _semantic_concat(self, gen_img, detach_rgb):
@@ -195,15 +212,18 @@ class Pix2Pix3DLoss:
 
     # --------------------------------------------------------------- phases
     def g_main(self, params_g, params_d, params_dsem, batch, gen_z, gen_c,
-               rng, blur_sigma, nrr):
+               rng, blur_sigma, nrr, aug_p=None):
         stats = StatsAccumulator()
         r_coin, r_g, r_d, r_cv1, r_cv2, r_cv3 = jax.random.split(rng, 6)
+        aug = (None if (self.augment_pipe is None or aug_p is None)
+               else (jax.random.fold_in(rng, 77), aug_p))
         coin = self._mode_coin(r_coin)
         c_render = jnp.where(coin > 0, gen_c, batch["pose"])
         recon_on = 1.0 - coin  # recon losses only in image-pose mode (ref :595)
 
         gen_img, _ws = self.run_G(params_g, gen_z, batch, c_render, nrr, r_g)
-        gen_logits = self.run_D(params_d, gen_img, c_render, blur_sigma, rng=r_d)
+        gen_logits = self.run_D(params_d, gen_img, c_render, blur_sigma,
+                                rng=r_d, aug=aug)
         stats.report("Loss/scores/fake", gen_logits)
         stats.report("Loss/signs/fake", jnp.sign(gen_logits))
         loss = jnp.mean(jax.nn.softplus(-gen_logits))
@@ -211,7 +231,7 @@ class Pix2Pix3DLoss:
         if self.D_semantic is not None:
             input_img = self._semantic_concat(gen_img, detach_rgb=True)
             logits_sem = self.run_D_semantic(params_dsem, input_img, c_render,
-                                             blur_sigma)
+                                             blur_sigma, aug=aug)
             stats.report("Loss/scores/fake_semantic", logits_sem)
             loss = loss + jnp.mean(jax.nn.softplus(-logits_sem)) * self.lambda_D_semantic
 
@@ -319,21 +339,26 @@ class Pix2Pix3DLoss:
             loss = jnp.asarray(0.0)
         return loss, {}
 
-    def d_main(self, params_d, params_g, batch, gen_z, gen_c, rng, blur_sigma, nrr):
+    def d_main(self, params_d, params_g, batch, gen_z, gen_c, rng, blur_sigma,
+               nrr, aug_p=None):
         stats = StatsAccumulator()
         r_coin, r_g, r_d1, r_d2 = jax.random.split(rng, 4)
+        aug = (None if (self.augment_pipe is None or aug_p is None)
+               else (jax.random.fold_in(rng, 77), aug_p))
         coin = self._mode_coin(r_coin)
         c_render = jnp.where(coin > 0, gen_c, batch["pose"])
 
         gen_img, ws = self.run_G(params_g, gen_z, batch, c_render, nrr, r_g)
         gen_img = jax.tree_util.tree_map(jax.lax.stop_gradient, gen_img)
-        gen_logits = self.run_D(params_d, gen_img, c_render, blur_sigma, rng=r_d1)
+        gen_logits = self.run_D(params_d, gen_img, c_render, blur_sigma,
+                                rng=r_d1, aug=aug)
         stats.report("Loss/scores/fake", gen_logits)
         stats.report("Loss/signs/fake", jnp.sign(gen_logits))
         loss_dgen = jnp.mean(jax.nn.softplus(gen_logits))
 
         real = self._real_pair(batch, nrr, blur_sigma)
-        real_logits = self.run_D(params_d, real, batch["pose"], blur_sigma, rng=r_d2)
+        real_logits = self.run_D(params_d, real, batch["pose"], blur_sigma,
+                                 rng=r_d2, aug=aug)
         stats.report("Loss/scores/real", real_logits)
         stats.report("Loss/signs/real", jnp.sign(real_logits))
         loss_dreal = jnp.mean(jax.nn.softplus(-real_logits))
@@ -343,15 +368,17 @@ class Pix2Pix3DLoss:
         aux = {"ws": jax.lax.stop_gradient(ws)}
         return loss_dgen + loss_dreal, (stats.asdict(), aux)
 
-    def d_r1(self, params_d, batch, rng, blur_sigma, nrr):
+    def d_r1(self, params_d, batch, rng, blur_sigma, nrr, aug_p=None):
         """R1 on both real image and raw (ref :871-888); inner jax.grad wrt
         the images, outer differentiation wrt params_d flows through it."""
         stats = StatsAccumulator()
         real = self._real_pair(batch, nrr, blur_sigma)
+        aug = (None if (self.augment_pipe is None or aug_p is None)
+               else (jax.random.fold_in(rng, 77), aug_p))
 
         def logits_sum(image, image_raw):
             out = self.run_D(params_d, {"image": image, "image_raw": image_raw},
-                             batch["pose"], blur_sigma, rng=rng)
+                             batch["pose"], blur_sigma, rng=rng, aug=aug)
             return jnp.sum(out)
 
         g_img, g_raw = jax.grad(logits_sum, argnums=(0, 1))(
@@ -365,22 +392,25 @@ class Pix2Pix3DLoss:
         return loss, stats.asdict()
 
     def d_semantic_main(self, params_dsem, params_g, batch, gen_z, gen_c, rng,
-                        blur_sigma, nrr):
+                        blur_sigma, nrr, aug_p=None):
         stats = StatsAccumulator()
         r_coin, r_g, r_d = jax.random.split(rng, 3)
+        aug = (None if (self.augment_pipe is None or aug_p is None)
+               else (jax.random.fold_in(rng, 77), aug_p))
         coin = self._mode_coin(r_coin)
         c_render = jnp.where(coin > 0, gen_c, batch["pose"])
 
         gen_img, _ = self.run_G(params_g, gen_z, batch, c_render, nrr, r_g)
         gen_img = jax.tree_util.tree_map(jax.lax.stop_gradient, gen_img)
         input_img = self._semantic_concat(gen_img, detach_rgb=False)
-        logits = self.run_D_semantic(params_dsem, input_img, c_render, blur_sigma)
+        logits = self.run_D_semantic(params_dsem, input_img, c_render,
+                                     blur_sigma, aug=aug)
         stats.report("Loss/scores/fake_semantic", logits)
         loss_gen = jnp.mean(jax.nn.softplus(logits))
 
         real_cat = self._real_semantic_pair(batch, nrr, blur_sigma)
         real_logits = self.run_D_semantic(params_dsem, real_cat, batch["pose"],
-                                          blur_sigma)
+                                          blur_sigma, aug=aug)
         stats.report("Loss/scores/real_semantic", real_logits)
         loss_real = jnp.mean(jax.nn.softplus(-real_logits))
         stats.report("Loss/D/loss_semantic", loss_gen + loss_real)
@@ -398,14 +428,16 @@ class Pix2Pix3DLoss:
         return {"image": jnp.concatenate([real["image"], mask], axis=-1),
                 "image_raw": jnp.concatenate([real["image_raw"], mask_raw], axis=-1)}
 
-    def d_semantic_r1(self, params_dsem, batch, rng, blur_sigma, nrr):
+    def d_semantic_r1(self, params_dsem, batch, rng, blur_sigma, nrr, aug_p=None):
         stats = StatsAccumulator()
         real_cat = self._real_semantic_pair(batch, nrr, blur_sigma)
+        aug = (None if (self.augment_pipe is None or aug_p is None)
+               else (jax.random.fold_in(rng, 77), aug_p))
 
         def logits_sum(image, image_raw):
             out = self.run_D_semantic(
                 params_dsem, {"image": image, "image_raw": image_raw},
-                batch["pose"], blur_sigma)
+                batch["pose"], blur_sigma, aug=aug)
             return jnp.sum(out)
 
         g_img, g_raw = jax.grad(logits_sum, argnums=(0, 1))(

@@ -37,6 +37,9 @@ def main():
     p.add_argument("--batch-gpu", dest="batch_gpu", type=int, default=None)
     # Optional features
     p.add_argument("--cond", type=parse_bool, default=True)
+    p.add_argument("--aug", default="noaug", choices=["noaug", "ada", "fixed"])
+    p.add_argument("--target", type=float, default=0.6)
+    p.add_argument("--p", type=float, default=0.2)
     p.add_argument("--mirror", type=parse_bool, default=False)
     p.add_argument("--resume", type=str, default=None)
     # Hyperparameters
@@ -153,6 +156,11 @@ def main():
         g_lr=args.glr if args.glr is not None else 0.0025,
         d_lr=args.dlr,
         g_reg_interval=args.density_reg_every if args.density_reg > 0 else None,
+        augment_kwargs=(None if args.aug == "noaug" else dict(
+            xflip=1, rotate90=1, xint=1, scale=1, rotate=1, aniso=1, xfrac=1,
+            brightness=1, contrast=1, lumaflip=1, hue=1, saturation=1)),
+        augment_p=(args.p if args.aug == "fixed" else 0.0),
+        ada_target=(args.target if args.aug == "ada" else None),
         batch_size=args.batch, batch_gpu=args.batch_gpu,
         total_kimg=args.kimg, kimg_per_tick=args.tick,
         snapshot_ticks=args.snap, image_snapshot_ticks=args.snap,
