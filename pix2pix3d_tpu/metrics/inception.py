@@ -145,3 +145,12 @@ class InceptionV3Features:
 
     def __call__(self, images_uint8):
         return np.asarray(self._fn(jnp.asarray(images_uint8, jnp.float32)))
+
+    def logits(self, images_uint8):
+        """Classifier logits [N, 1000] (for Inception Score)."""
+        feats = self._fn(jnp.asarray(images_uint8, jnp.float32))
+        w = self.params["fc/weight"]  # converted HWIO-agnostic: [in, out]?
+        b = self.params["fc/bias"]
+        if w.shape[0] != feats.shape[-1]:
+            w = w.T
+        return np.asarray(feats @ w + b)

@@ -10,6 +10,7 @@ from .kernel_inception_distance import compute_kid
 from .miou import compute_miou
 from .precision_recall import compute_pr
 from .perceptual_path_length import compute_ppl
+from .inception_score import compute_is
 
 _metric_dict = {}
 
@@ -76,6 +77,12 @@ def ppl2_wend(opts):
 @register_metric
 def ppl2_wend_small(opts):
     return {"ppl2_wend_small": compute_ppl(opts, num_samples=500)}
+
+
+@register_metric
+def is50k(opts):
+    mean, std = compute_is(opts, num_gen=50000, num_splits=10)
+    return {"is50k_mean": mean, "is50k_std": std}
 
 
 @register_metric

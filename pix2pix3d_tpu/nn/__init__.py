@@ -34,3 +34,5 @@ from .superresolution import (
     SuperresolutionHybridDeepfp32,
     build_superresolution,
 )
+from .stylegan3 import (GeneratorS3, SynthesisNetworkS3, SynthesisInput,
+                        SynthesisLayerS3, modulated_conv2d_s3)

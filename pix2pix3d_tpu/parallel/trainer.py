@@ -137,6 +137,10 @@ class Trainer:
         rngs = jax.random.split(rng, 6)
         stats = {}
         rounds = self.grad_accum_rounds
+        assert batch["pose"].shape[0] % rounds == 0 and \
+            batch["pose"].shape[0] >= rounds, (
+            f"per-device batch {batch['pose'].shape[0]} not divisible into "
+            f"{rounds} accumulation rounds")
         mb_size = batch["pose"].shape[0] // rounds
 
         def mb(tree, r):

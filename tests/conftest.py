@@ -23,9 +23,15 @@ jax.config.update("jax_enable_x64", False)
 
 # Persistent compilation cache: the big SPMD train-step programs take many
 # minutes to compile on this single-core host; cache them across test runs.
-os.makedirs("/root/.cache/jax_test_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+# CAVEAT: XLA:CPU AOT cache entries record host CPU features and have
+# crashed with SIGILL when the recorded features mismatch (warnings about
+# "+prefer-no-scatter ... could lead to execution errors such as SIGILL").
+# Set PIX2PIX3D_NO_COMPILE_CACHE=1 to bypass if a test dies mid-run.
+if not os.environ.get("PIX2PIX3D_NO_COMPILE_CACHE"):
+    os.makedirs("/root/.cache/jax_test_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_test_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 
 def pytest_report_header(config):

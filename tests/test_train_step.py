@@ -120,8 +120,10 @@ def test_full_train_step():
 def test_grad_accumulation_runs():
     """rounds=2 micro-batching (ref batch_gpu rounds) produces finite updates."""
     G, D, D_sem, loss = tiny_setup()
-    trainer = Trainer(loss, mesh=make_mesh(), g_reg_interval=4,
-                      d_reg_interval=16, grad_accum_rounds=2)
+    # 4-device mesh so each device holds 2 samples -> 2 rounds of 1
+    trainer = Trainer(loss, mesh=make_mesh(jax.devices()[:4]),
+                      g_reg_interval=4, d_reg_interval=16,
+                      grad_accum_rounds=2)
     state = trainer.init_state(jax.random.PRNGKey(3))
     batch, gen_z, gen_c = make_batch(rng_seed=1)
     state, stats = trainer.step(state, batch, gen_z, gen_c,
