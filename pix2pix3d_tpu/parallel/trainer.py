@@ -108,18 +108,17 @@ class Trainer:
             (_, aux), grads = jax.value_and_grad(
                 lambda p: loss_fn(p, 0), has_aux=True)(params)
         else:
-            def body(carry, r):
-                g_acc = carry
+            # static unroll (rounds is small); a lax.scan formulation hit an
+            # XLA:CPU codegen crash on the grad-of-scan program
+            grads = aux = None
+            for r in range(rounds):
                 (_, aux_r), g = jax.value_and_grad(
                     lambda p: loss_fn(p, r), has_aux=True)(params)
-                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
-                return g_acc, aux_r
-
-            zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
-            grads, auxs = jax.lax.scan(body, zeros, jnp.arange(rounds))
-            # every aux leaf is scan-stacked [rounds, ...]; phases emit
-            # summable aux (stat moments; ws pre-divided by rounds)
-            aux = jax.tree_util.tree_map(lambda a: jnp.sum(a, 0), auxs)
+                grads = g if grads is None else \
+                    jax.tree_util.tree_map(jnp.add, grads, g)
+                # phases emit summable aux (stat moments; ws pre-divided)
+                aux = aux_r if aux is None else \
+                    jax.tree_util.tree_map(jnp.add, aux, aux_r)
         grads = jax.tree_util.tree_map(
             lambda g: jax.lax.pmean(g * gain, axis), grads)
         grads = _nan_to_num(grads)
