@@ -1,0 +1,62 @@
+"""Checkpoint save/load + fuzzy partial-init tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pix2pix3d_tpu.train.checkpoint import (save_checkpoint, load_checkpoint,
+                                            copy_params_fuzzy)
+
+
+def test_save_load_roundtrip_with_optimizer_state(tmp_path):
+    import optax
+    params = {"a": {"w": jnp.arange(6.0).reshape(2, 3)},
+              "b": jnp.ones((4,))}
+    opt = optax.adam(1e-3)
+    state = {"G": params, "opt_G": opt.init(params), "step_marker": jnp.asarray(7)}
+    path = str(tmp_path / "ck.ckpt")
+    save_checkpoint(path, state, config={"x": 1}, step=1234)
+
+    loaded, step = load_checkpoint(path, state)
+    assert step == 1234
+    np.testing.assert_array_equal(np.asarray(loaded["G"]["a"]["w"]),
+                                  np.asarray(params["a"]["w"]))
+    # optax NamedTuple state restored with correct structure
+    leaves_a = jax.tree_util.tree_leaves(state["opt_G"])
+    leaves_b = jax.tree_util.tree_leaves(loaded["opt_G"])
+    assert len(leaves_a) == len(leaves_b)
+
+
+def test_copy_params_fuzzy_semantic_fallback():
+    """EG3D-style partial init: `*_semantic` names fall back to base names
+    (ref `misc.py:157-176`)."""
+    src = {"superresolution": {"w": np.full((3,), 2.0)},
+           "decoder": {"net": {"fc0": {"weight": np.full((4, 5), 3.0)}}},
+           "other": {"x": np.zeros((2,))}}
+    dst = {
+        "superresolution": {"w": jnp.zeros((3,))},
+        "superresolution_semantic": {"w": jnp.zeros((3,))},  # fallback hit
+        "decoder": {"net": {"fc0": {"weight": jnp.zeros((4, 5))}},
+                    "net_semantic": {"fc0": {"weight": jnp.zeros((4, 5))}}},
+        "mismatched": {"x": jnp.zeros((9,))},  # shape mismatch -> keep dst
+    }
+    out = copy_params_fuzzy(src, dst)
+    np.testing.assert_allclose(np.asarray(out["superresolution"]["w"]), 2.0)
+    np.testing.assert_allclose(
+        np.asarray(out["superresolution_semantic"]["w"]), 2.0)
+    np.testing.assert_allclose(
+        np.asarray(out["decoder"]["net_semantic"]["fc0"]["weight"]), 3.0)
+    np.testing.assert_allclose(np.asarray(out["mismatched"]["x"]), 0.0)
+
+
+def test_lpips_shapes_and_symmetry():
+    from pix2pix3d_tpu.train.lpips import LPIPS
+    lp = LPIPS()
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1)
+    b = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1)
+    d = np.asarray(lp(a, b))
+    assert d.shape == (2,)
+    assert (d >= 0).all()
+    np.testing.assert_allclose(np.asarray(lp(a, a)), 0.0, atol=1e-6)
+    np.testing.assert_allclose(d, np.asarray(lp(b, a)), rtol=1e-5)
