@@ -18,6 +18,50 @@ import jax
 import jax.numpy as jnp
 
 
+def grid_sample_2d_patch_rowpair(features, coords):
+    """Like :func:`grid_sample_2d_patch` but fetches each point's footprint
+    as a `(1, 2, 2*C)` slice from a `[N, H, W*C]` view of the plane: the
+    gather output's trailing dims are `(2, 2C)`, which tile-pads 2x less
+    than the 4-D patch's `(2, 2, C)` — half the HBM write traffic for the
+    same slice count.  Requires 2*C <= some sane lane multiple; exact same
+    math (hat weights on the clamped base)."""
+    n, h, w, c = features.shape
+    m = coords.shape[1]
+    x = coords[..., 0].astype(jnp.float32)
+    y = coords[..., 1].astype(jnp.float32)
+    ix = (x + 1.0) * (w * 0.5) - 0.5
+    iy = (y + 1.0) * (h * 0.5) - 0.5
+    iy0 = jnp.clip(jnp.floor(iy).astype(jnp.int32), 0, h - 2)
+    ix0 = jnp.clip(jnp.floor(ix).astype(jnp.int32), 0, w - 2)
+
+    flat = features.reshape(n, h, w * c)
+    starts = jnp.stack([iy0, ix0 * c], axis=-1)  # [N, M, 2]
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3),
+        collapsed_slice_dims=(),
+        start_index_map=(1, 2),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    patch = jax.lax.gather(
+        flat, starts, dnums, slice_sizes=(1, 2, 2 * c),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    ).reshape(n, m, 2, 2, c).astype(jnp.float32)
+
+    tx0 = ix0.astype(jnp.float32)
+    ty0 = iy0.astype(jnp.float32)
+    wx0 = jnp.maximum(0.0, 1.0 - jnp.abs(ix - tx0))
+    wx1 = jnp.maximum(0.0, 1.0 - jnp.abs(ix - (tx0 + 1)))
+    wy0 = jnp.maximum(0.0, 1.0 - jnp.abs(iy - ty0))
+    wy1 = jnp.maximum(0.0, 1.0 - jnp.abs(iy - (ty0 + 1)))
+
+    out = (patch[:, :, 0, 0] * (wy0 * wx0)[..., None]
+           + patch[:, :, 0, 1] * (wy0 * wx1)[..., None]
+           + patch[:, :, 1, 0] * (wy1 * wx0)[..., None]
+           + patch[:, :, 1, 1] * (wy1 * wx1)[..., None])
+    return out.astype(features.dtype)
+
+
 def grid_sample_2d_patch(features, coords):
     """Bilinear sample via ONE patch-gather per point (zeros padding).
 

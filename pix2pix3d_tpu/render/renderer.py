@@ -30,8 +30,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.grid_sample import (grid_sample_2d_patch, pack_plane_blocks,
-                               sample_packed_planes)
+from ..ops.grid_sample import (grid_sample_2d_patch,
+                               grid_sample_2d_patch_rowpair,
+                               pack_plane_blocks, sample_packed_planes)
 from . import math_utils
 from .ray_marcher import (march_rays, march_rays_3d, compute_weights_3d,
                           midpoint_coefficients, finalize_composite_3d)
@@ -76,6 +77,9 @@ def sample_from_planes(plane_features, coordinates, box_warp):
     proj = project_onto_planes(coordinates)  # [N, 3, M, 2]
     flat_planes = plane_features.reshape(n * n_planes, h, w, c)
     flat_coords = proj.reshape(n * n_planes, m, 2).astype(jnp.float32)
+    # NOTE: grid_sample_2d_patch_rowpair halves the padded write traffic but
+    # hit a TPU device fault on v5e in end-to-end testing (see NOTES_PERF);
+    # the 4-D patch gather is the validated production path.
     out = grid_sample_2d_patch(flat_planes, flat_coords)
     return out.reshape(n, n_planes, m, c)
 
