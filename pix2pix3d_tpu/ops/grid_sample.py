@@ -7,9 +7,11 @@ compositing (`triplane_cond.py:1222`).  Implemented as 4 gathers + lerp;
 double-differentiable by construction (the reference needed
 `grid_sample_gradfix` for that).
 
-The XLA gather here is the baseline implementation; the fused Pallas
-tri-plane kernel (`ops/triplane_pallas.py`) supersedes it on the renderer hot
-path.
+The XLA gather formulations here are the production plane sampler; see
+NOTES_PERF.md for the measured v5e gather-throughput analysis that shaped
+them (in-kernel arbitrary VMEM gather is not expressible on this Mosaic
+generation, so the fast paths are gather-shape engineering + the
+regular-grid contraction sampler in `render/grid_sampler.py`).
 """
 
 from __future__ import annotations

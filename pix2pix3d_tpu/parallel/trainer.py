@@ -128,8 +128,15 @@ class Trainer:
 
     def _device_step(self, state, batch, gen_z, gen_c, rng, ema_beta,
                      do_greg, do_dreg, do_dsemreg, blur_sigma, nrr,
-                     aug_p=None):
-        """One full training iteration on one device's shard."""
+                     aug_p=None, blur_size=None):
+        """One full training iteration on one device's shard.
+
+        `blur_sigma` is traced (a scalar array) when `blur_size` is a
+        positive static int — the pair is forwarded to the loss as a tuple
+        so one compiled program serves every σ within a kernel-width bucket
+        during the blur fade."""
+        if blur_size is not None:
+            blur_sigma = (blur_sigma, blur_size)
         axis = self.axis
         loss = self.loss
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
@@ -249,10 +256,14 @@ class Trainer:
         params_g["backbone"]["mapping"] = dict(mp, w_avg=new_avg)
         return params_g
 
-    def make_step(self, do_greg, do_dreg, do_dsemreg, blur_sigma, nrr):
+    def make_step(self, do_greg, do_dreg, do_dsemreg, blur_size, nrr):
         """Build (and cache) the jitted shard_map'd step for one combination
-        of static schedule values."""
-        key = (do_greg, do_dreg, do_dsemreg, round(blur_sigma, 4), nrr)
+        of static schedule values.
+
+        Only the blur KERNEL WIDTH is static; σ itself is a traced scalar
+        argument, so a full blur fade (σ changing every step, e.g. seg2cat
+        Δσ≈0.0016/step) compiles O(blur_init·3) programs, not thousands."""
+        key = (do_greg, do_dreg, do_dsemreg, blur_size, nrr)
         if key in self._step_cache:
             return self._step_cache[key]
 
@@ -263,17 +274,44 @@ class Trainer:
 
         fn = functools.partial(self._device_step, do_greg=do_greg,
                                do_dreg=do_dreg, do_dsemreg=do_dsemreg,
-                               blur_sigma=blur_sigma, nrr=nrr)
+                               nrr=nrr)
 
-        # Only thread the ADA probability through the traced signature when
-        # an augment pipe exists (keeps no-aug programs byte-identical and
-        # their compile cache warm).
+        # Only thread dynamic scalars (blur σ, ADA p) through the traced
+        # signature when the corresponding feature is active — keeps
+        # no-blur/no-aug programs byte-identical and their compile cache
+        # warm across rounds.
+        has_blur = blur_size > 0
         has_aug = self.loss.augment_pipe is not None
         in_specs = (rep, data, phase_data, phase_data, rep, rep)
+        if has_blur:
+            fn = functools.partial(fn, blur_size=blur_size)
+            in_specs = in_specs + (rep,)   # traced blur_sigma
+        else:
+            fn = functools.partial(fn, blur_sigma=0.0)
         if has_aug:
-            in_specs = in_specs + (rep,)
+            in_specs = in_specs + (rep,)   # traced aug_p
         else:
             fn = functools.partial(fn, aug_p=None)
+
+        if has_blur and has_aug:
+            def ordered(state, batch, gen_z, gen_c, rng, ema_beta,
+                        blur_sigma, aug_p, _fn=fn):
+                return _fn(state, batch, gen_z, gen_c, rng, ema_beta,
+                           blur_sigma=blur_sigma, aug_p=aug_p)
+            fn = ordered
+        elif has_blur:
+            def ordered(state, batch, gen_z, gen_c, rng, ema_beta,
+                        blur_sigma, _fn=fn):
+                return _fn(state, batch, gen_z, gen_c, rng, ema_beta,
+                           blur_sigma=blur_sigma)
+            fn = ordered
+        elif has_aug:
+            def ordered(state, batch, gen_z, gen_c, rng, ema_beta, aug_p,
+                        _fn=fn):
+                return _fn(state, batch, gen_z, gen_c, rng, ema_beta,
+                           aug_p=aug_p)
+            fn = ordered
+
         sharded = jax.shard_map(
             fn, mesh=self.mesh,
             in_specs=in_specs,
@@ -297,11 +335,14 @@ class Trainer:
         do_dreg = (self.d_reg_interval is not None
                    and step_idx % self.d_reg_interval == 0)
         beta = _ema_beta(batch_size, cur_nimg, ema_kimg, ema_rampup)
-        step_fn = self.make_step(do_greg, do_dreg, do_dreg,
-                                 sched["blur_sigma"],
+        blur_sigma = sched["blur_sigma"]
+        blur_size = int(np.floor(blur_sigma * 3))
+        step_fn = self.make_step(do_greg, do_dreg, do_dreg, blur_size,
                                  sched["neural_rendering_resolution"])
         args = (state, batch, gen_z, gen_c, rng,
                 jnp.asarray(beta, jnp.float32))
+        if blur_size > 0:
+            args = args + (jnp.asarray(blur_sigma, jnp.float32),)
         if self.loss.augment_pipe is not None:
             args = args + (jnp.asarray(aug_p, jnp.float32),)
         return step_fn(*args)

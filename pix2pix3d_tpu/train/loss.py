@@ -114,6 +114,18 @@ class Pix2Pix3DLoss:
         self.only_raw_recons = only_raw_recons
         self.silhouette_loss = silhouette_loss
         self.lambda_cross_view = lambda_cross_view
+        # The reference DEFINES style_mixing_prob but its application is
+        # commented out in run_G (ref `loss.py:449-453`) — a nonzero value
+        # is silently inert there.  We match that behavior but refuse to be
+        # silent about it.
+        self.style_mixing_prob = style_mixing_prob
+        if style_mixing_prob:
+            import warnings
+            warnings.warn(
+                "style_mixing_prob is inert: the reference comments out "
+                "style mixing in run_G (loss.py:449-453) and this rebuild "
+                "matches that; the value is stored but never applied.",
+                stacklevel=2)
         self.resample_filter = setup_filter([1, 3, 3, 1])
 
         if int(seg_weight) == 1:
@@ -138,11 +150,24 @@ class Pix2Pix3DLoss:
 
     # --------------------------------------------------------------- pieces
     def _blur(self, image, blur_sigma):
-        blur_size = int(np.floor(blur_sigma * 3))
+        """Gaussian blur for the discriminator fade (ref `loss.py:516-517`).
+
+        `blur_sigma` is either a plain float (σ baked into the trace) or a
+        `(traced_sigma, static_kernel_size)` pair.  Only the kernel width
+        `floor(3σ)` is shape-bearing; passing σ as a traced scalar lets the
+        trainer reuse ONE compiled step per width bucket across the whole
+        fade instead of recompiling every step (the reference passes σ
+        dynamically for the same reason)."""
+        if isinstance(blur_sigma, tuple):
+            sigma, blur_size = blur_sigma
+        else:
+            sigma = blur_sigma
+            blur_size = int(np.floor(float(blur_sigma) * 3))
         if blur_size <= 0:
             return image
+        sigma = jnp.asarray(sigma, jnp.float32)
         f = jnp.exp2(-jnp.square(
-            jnp.arange(-blur_size, blur_size + 1, dtype=jnp.float32) / blur_sigma))
+            jnp.arange(-blur_size, blur_size + 1, dtype=jnp.float32) / sigma))
         return filter2d(image, f / jnp.sum(f))
 
     def run_G(self, params_g, z, batch, c_render, nrr, rng):

@@ -140,15 +140,22 @@ def load_reference_pickle(path):
             except KeyError:
                 raise AttributeError(k)
 
+    def _safe_load_from_bytes(b):
+        """Safe shim for `torch.storage._load_from_bytes`.
+
+        The torch-internal original is `torch.load(io.BytesIO(b))` WITHOUT
+        `weights_only`, i.e. a full unrestricted pickle load — a malicious
+        checkpoint could wrap an arbitrary payload in a `_load_from_bytes`
+        call and execute code.  Parse the legacy storage bytes through
+        torch's hardened weights-only unpickler instead."""
+        return torch.load(io.BytesIO(b), weights_only=True)
+
     class _RestrictedUnpickler(pickle.Unpickler):
         _ALLOW = {
             ("collections", "OrderedDict"),
             ("torch._utils", "_rebuild_tensor_v2"),
             ("torch._utils", "_rebuild_parameter"),
             ("torch", "Size"),
-            # legacy (non-zip) torch pickles embed tensor data behind this
-            # torch-internal byte parser
-            ("torch.storage", "_load_from_bytes"),
             ("numpy", "ndarray"),
             ("numpy", "dtype"),
             ("numpy.core.multiarray", "_reconstruct"),
@@ -157,6 +164,10 @@ def load_reference_pickle(path):
         }
 
         def find_class(self, module, name):
+            # legacy (non-zip) torch pickles embed tensor data behind this
+            # torch-internal byte parser; route through the safe shim
+            if (module, name) == ("torch.storage", "_load_from_bytes"):
+                return _safe_load_from_bytes
             if (module, name) in self._ALLOW:
                 return super().find_class(module, name)
             if module.startswith("torch") and name in (

@@ -122,3 +122,39 @@ def test_restricted_unpickler_blocks_code():
     except Exception:
         pass  # refusing to load at all is acceptable
     assert not os.path.exists("/tmp/pwned"), "unpickler executed embedded code!"
+
+
+def test_restricted_unpickler_blocks_load_from_bytes_payload(tmp_path):
+    """`torch.storage._load_from_bytes` is torch.load WITHOUT weights_only —
+    a full pickle load.  An evil payload routed through it must not execute
+    (the loader shims it with torch.load(weights_only=True))."""
+    import os
+    import pickletools  # noqa: F401  (documentation aid)
+
+    sentinel = "/tmp/pwned_lfb"
+    evil_inner = pickle.dumps(EvilInner())
+
+    class Wrapper:
+        def __reduce__(self):
+            # emulate a legacy torch tensor whose storage bytes are an
+            # attacker-controlled pickle
+            import torch.storage
+            return (torch.storage._load_from_bytes, (evil_inner,))
+
+    if os.path.exists(sentinel):
+        os.remove(sentinel)
+    path = tmp_path / "evil_lfb.pkl"
+    with open(path, "wb") as f:
+        pickle.dump({"G": Wrapper()}, f)
+    try:
+        load_reference_pickle(str(path))
+    except Exception:
+        pass  # raising on the malicious payload is the expected outcome
+    assert not os.path.exists(sentinel), \
+        "payload behind _load_from_bytes executed!"
+
+
+class EvilInner:
+    def __reduce__(self):
+        return (eval,
+                ("__import__('os').system('echo pwned > /tmp/pwned_lfb')",))
