@@ -11,9 +11,16 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 on one A100 for the same pipeline (EG3D reports ~36 fps on consumer GPUs for
 the rgb-only pipeline; pix2pix3D adds the semantic decoder + second SR; the
 repo itself publishes no numbers — see BASELINE.md).
+
+Serving mode uses the gather-free frustum slab sampler (render/frustum.py,
+96 regular depth steps ~ the parity path's 48+48) — a documented
+approximation whose drift vs the parity renderer is measured in
+tests/test_frustum.py (PSNR > 25 dB on raw renders).  Run with
+`--sampler gather` for the bit-faithful parity pipeline.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -25,6 +32,8 @@ ITERS = 8
 
 
 def main():
+    sampler = "gather" if "--sampler" in sys.argv and \
+        sys.argv[sys.argv.index("--sampler") + 1] == "gather" else "frustum"
     import jax
     import jax.numpy as jnp
     from pix2pix3d_tpu import config as cfg_mod
@@ -38,6 +47,10 @@ def main():
 
     cfg = cfg_mod.preset_generator_config("seg2cat", sr_num_fp16_res=4)
     G = build_generator(**cfg)
+    if sampler == "frustum":
+        G.rendering_kwargs["sampler"] = "frustum"
+        G.rendering_kwargs["frustum_depth_steps"] = 96
+        G.rendering_kwargs["frustum_chunk"] = 16
     params = G.init(jax.random.PRNGKey(0))
 
     rng = np.random.RandomState(0)

@@ -204,9 +204,24 @@ class _TriPlaneBase:
         cam2world, intrinsics = _parse_pose(c)
         ray_origins, ray_directions = sample_rays(cam2world, intrinsics,
                                                   neural_rendering_resolution)
-        feature_samples, depth_samples, weights_samples = self.renderer(
-            planes, lambda f, d: self.decoder(params["decoder"], f, d),
-            ray_origins, ray_directions, self.rendering_kwargs, rng=rng, det=det)
+        decoder = lambda f, d: self.decoder(params["decoder"], f, d)
+        if self.rendering_kwargs.get("sampler") == "frustum":
+            # gather-free serving fast path (render/frustum.py): regular
+            # z-depth slabs resampled with banded MXU matmuls; documented
+            # approximation of the two-pass importance renderer
+            from ..render.frustum import frustum_render
+            feature_samples, depth_samples, weights_samples = frustum_render(
+                planes, decoder, cam2world, intrinsics, self.rendering_kwargs,
+                neural_rendering_resolution,
+                depth_steps=self.rendering_kwargs.get("frustum_depth_steps"),
+                chunk=self.rendering_kwargs.get("frustum_chunk"),
+                compute_dtype=jnp.bfloat16
+                if self.rendering_kwargs.get("frustum_bf16", True)
+                else jnp.float32)
+        else:
+            feature_samples, depth_samples, weights_samples = self.renderer(
+                planes, decoder, ray_origins, ray_directions,
+                self.rendering_kwargs, rng=rng, det=det)
         return feature_samples, depth_samples, weights_samples, ray_origins, ray_directions
 
     @staticmethod

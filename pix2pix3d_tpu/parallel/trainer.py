@@ -100,9 +100,17 @@ class Trainer:
 
     # ------------------------------------------------------------------ step
     def _phase_update(self, loss_fn, params, opt, opt_state, gain, axis):
-        """grad (accumulated over micro-batch rounds) -> psum-mean ->
-        nan_to_num -> adam.  Returns new params/opt plus the phase's aux
-        outputs.  `loss_fn(params, round_idx)` sees one micro-batch."""
+        """grad (accumulated over micro-batch rounds) -> ONE flat psum-mean
+        -> nan_to_num -> adam.  Returns new params/opt plus the phase's aux
+        outputs.  `loss_fn(params, round_idx)` sees one micro-batch.
+
+        The cross-replica reduction is a SINGLE pmean over the raveled
+        gradient vector — the same design as the reference's flat-grad
+        all_reduce (`training_loop.py:531-542`): one latency-bound
+        collective per phase instead of one per parameter leaf.  On ICI
+        this amortizes collective launch latency; on the CPU-mesh dryrun it
+        removes hundreds of rendezvous points."""
+        from jax.flatten_util import ravel_pytree
         rounds = self.grad_accum_rounds
         if rounds <= 1:
             (_, aux), grads = jax.value_and_grad(
@@ -119,9 +127,10 @@ class Trainer:
                 # phases emit summable aux (stat moments; ws pre-divided)
                 aux = aux_r if aux is None else \
                     jax.tree_util.tree_map(jnp.add, aux, aux_r)
-        grads = jax.tree_util.tree_map(
-            lambda g: jax.lax.pmean(g * gain, axis), grads)
-        grads = _nan_to_num(grads)
+        flat, unravel = ravel_pytree(grads)
+        flat = jax.lax.pmean(flat * gain, axis)
+        flat = jnp.nan_to_num(flat, nan=0.0, posinf=1e5, neginf=-1e5)
+        grads = unravel(flat)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, aux
@@ -235,7 +244,10 @@ class Trainer:
         state["G_ema"] = ema_update(state["G_ema"], state["G"], ema_beta)
         state["G_ema"] = copy_buffers(state["G_ema"], state["G"])
 
-        stats = {k: jax.lax.psum(v, axis) for k, v in stats.items()}
+        # ONE collective for all stat moments (vs one psum per metric)
+        from jax.flatten_util import ravel_pytree
+        flat_stats, unravel_stats = ravel_pytree(stats)
+        stats = unravel_stats(jax.lax.psum(flat_stats, axis))
         return state, stats
 
     def _apply_w_avg(self, params_g, ws_mean, axis):

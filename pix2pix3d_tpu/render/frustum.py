@@ -1,0 +1,361 @@
+"""Frustum-slab tri-plane renderer — the gather-free serving fast path.
+
+Replaces the per-point plane gather of the parity renderer (ref hot loop
+`volumetric_rendering/renderer.py:55-65`) for camera-ray rendering.  The
+measured v5e floor for any gather-based sampler is ~40M slices/s
+(NOTES_PERF.md), capping the parity path at ~16 img/s; this path performs
+ZERO per-point gathers.
+
+Key geometry: parametrize rays by z-depth, p(u, v, t) = o + t*(u*a_u +
+v*a_v + a_0) — affine in the pixel lattice (u, v) at fixed t.  Projecting a
+depth slab onto a tri-plane is then an affine resample of the plane texture
+whose 2x2 linear part is t*B with a DEPTH-INDEPENDENT B.  Factoring
+B = Shear_x(a) * Shear_y(b) * diag(d1, d2) (a, b depth-independent because
+they are ratios of B entries) turns the whole render into:
+
+  1. two texture-side shear passes per plane image (ONCE, shared by all
+     depth slabs) — banded row/column matmuls on the MXU;
+  2. per-slab axis-aligned scale+translate — two banded matmuls whose
+     weights are shared across the other axis (pure MXU work,
+     ~0.8 GFLOP/slab/plane);
+  3. decoder MLP + front-to-back compositing with a scan carry over slab
+     chunks (bounded memory).
+
+Sample placement differs from the parity renderer (regular z-depth steps
+vs per-ray stratified+importance along normalized directions), so this is
+a DOCUMENTED-APPROXIMATION serving path, selected with
+`rendering_kwargs['sampler'] = 'frustum'`; the gather path remains the
+parity/training default.  Quality drift is measured in
+tests/test_frustum.py and NOTES_PERF.md.
+
+Supported domain: static scalar ray_start/ray_end (seg2cat/seg2face
+presets), cameras within the standard object-centric orbit (the shear
+margins and the per-plane pivot are validated across yaw +-0.6 / pitch
++-0.4 around the canonical pose in tests).  Out-of-domain poses should use
+the parity sampler.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .renderer import _INV_PLANE_AXES
+
+# static shear margin (texels); |a|,|b| <= MARGIN/S is the supported range
+MARGIN = 128
+
+
+def _safe_div(x, y, eps=1e-8):
+    return jnp.where(jnp.abs(y) < eps, 0.0, x / jnp.where(jnp.abs(y) < eps,
+                                                          1.0, y))
+
+
+def frustum_coeffs(cam2world, intrinsics, nrr, plane_res, box_warp):
+    """Per-(image, plane) affine coefficients of the slab resample.
+
+    Returns dict with:
+      B     [N, 3, 2, 2]  texel linear part per unit t (columns: d/dj, d/di)
+      E0,E1 [N, 3, 2]     translation = E0 + t*E1 (texel units)
+      a_u, a_v, a_0 [N, 3] world-space ray basis (for ||d|| and debugging)
+    """
+    R = cam2world[:, :3, :3]
+    o = cam2world[:, :3, 3]
+    fx = intrinsics[:, 0, 0][:, None]
+    fy = intrinsics[:, 1, 1][:, None]
+    cx = intrinsics[:, 0, 2][:, None]
+    cy = intrinsics[:, 1, 2][:, None]
+    sk = intrinsics[:, 0, 1][:, None]
+
+    R0, R1, R2 = R[:, :, 0], R[:, :, 1], R[:, :, 2]
+    # cam-space lift (matches ray_sampler.sample_rays:43-47)
+    a_u = R0 / fx
+    a_v = R1 / fy - R0 * sk / (fx * fy)
+    a_0 = R2 - R0 * (cx - cy * sk / fy) / fx - R1 * cy / fy
+
+    # project_onto_planes contracts coords as a ROW vector (coords @ inv),
+    # renderer.py:56-62 — so the 2D projector rows are inv_axes COLUMNS
+    P = jnp.asarray(np.transpose(_INV_PLANE_AXES, (0, 2, 1))[:, :2, :],
+                    jnp.float32) * (2.0 / box_warp)
+    s_half = plane_res / 2.0
+
+    def proj(vec):  # [N, 3] world -> [N, 3 planes, 2] texel-scaled
+        return jnp.einsum("pij,nj->npi", P, vec) * s_half
+
+    pu, pv, p0 = proj(a_u), proj(a_v), proj(a_0)
+    tau0 = jnp.einsum("pij,nj->npi", P, o) * s_half + (s_half - 0.5)
+
+    inv = 1.0 / nrr
+    B = jnp.stack([pu * inv, pv * inv], axis=-1)     # [N, 3, 2, 2]
+    E1 = p0 + (pu + pv) * (0.5 * inv)                # t-linear translation
+    return {"B": B, "E0": tau0, "E1": E1,
+            "a_u": a_u, "a_v": a_v, "a_0": a_0}
+
+
+def factor_shears(B, E0, E1):
+    """B = Shx(a)*Shy(b)*diag(d1,d2), with a per-(image,plane) texture
+    transpose pivot keeping the factorization well conditioned.
+
+    Returns (a, b, d1, d2, F0, F1, flip) with translation E'' = F0 + t*F1
+    already propagated through the inverse shears; flip=True means the
+    texture (and B rows / E components) were transposed first."""
+    flip = jnp.abs(B[..., 1, 1]) < jnp.abs(B[..., 0, 1])   # [N, 3]
+
+    def pick(mat, vec0, vec1, f):
+        swap = f[..., None, None]
+        m = jnp.where(swap, mat[..., ::-1, :], mat)
+        v0 = jnp.where(f[..., None], vec0[..., ::-1], vec0)
+        v1 = jnp.where(f[..., None], vec1[..., ::-1], vec1)
+        return m, v0, v1
+
+    B, E0, E1 = pick(B, E0, E1, flip)
+    b11, b12 = B[..., 0, 0], B[..., 0, 1]
+    b21, b22 = B[..., 1, 0], B[..., 1, 1]
+    a = _safe_div(b12, b22)
+    d1 = b11 - a * b21
+    b = _safe_div(b21, d1)
+    d2 = b22
+    # E'' = Shy^-1 Shx^-1 E  (per component, t-linear parts independently)
+    ex0, ey0 = E0[..., 0] - a * E0[..., 1], E0[..., 1]
+    ex1, ey1 = E1[..., 0] - a * E1[..., 1], E1[..., 1]
+    F0 = jnp.stack([ex0, ey0 - b * ex0], -1)
+    F1 = jnp.stack([ex1, ey1 - b * ex1], -1)
+    return a, b, d1, d2, F0, F1, flip
+
+
+def _band_weights(centers, in_len, in_offset=0.0, dtype=jnp.float32,
+                  kernel="linear"):
+    """Interpolation taps: W[..., o, x] = k(x + in_offset - c(o)).
+
+    centers [..., O]; returns [..., O, in_len].  Rows whose center is
+    outside the input support come out all-zero = zeros padding.
+
+    kernel='linear' is the 2-tap hat (bilinear semantics, matches
+    grid_sample); kernel='cubic' is Catmull-Rom (4-tap) — used for the
+    texture-side shear passes so the intermediate resamples do not low-pass
+    the content (the band matmul cost is identical: the band is dense
+    either way)."""
+    x = jnp.arange(in_len, dtype=jnp.float32) + in_offset
+    d = jnp.abs(x - centers[..., None])
+    if kernel == "linear":
+        w = jnp.maximum(0.0, 1.0 - d)
+    else:  # Catmull-Rom
+        w_near = (1.5 * d - 2.5) * d * d + 1.0
+        w_far = ((-0.5 * d + 2.5) * d - 4.0) * d + 2.0
+        w = jnp.where(d < 1.0, w_near, jnp.where(d < 2.0, w_far, 0.0))
+    return w.astype(dtype)
+
+
+def shear_pass(tex, slope, out_len, margin, compute_dtype=jnp.float32):
+    """out[l, o, c] = tex sampled at (l, (o - margin) + slope*l) with linear
+    interpolation and zeros padding.  tex [L, X, C] -> [L, out_len, C].
+
+    One banded matmul per line batch; weights are built on the fly (VPU)
+    and consumed by the MXU."""
+    L, X, C = tex.shape
+    lines = jnp.arange(L, dtype=jnp.float32)
+    centers = (jnp.arange(out_len, dtype=jnp.float32)[None, :] - margin
+               + slope * lines[:, None])                       # [L, out]
+    W = _band_weights(centers, X, dtype=compute_dtype, kernel="cubic")
+    return jnp.einsum("lox,lxc->loc", W, tex.astype(compute_dtype),
+                      preferred_element_type=jnp.float32)
+
+
+def shear_texture(tex, a, b, compute_dtype=jnp.float32):
+    """Apply both texture-side shears: T2[y', x'] covers the extended
+    [-MARGIN, S+MARGIN) range on both axes.
+
+    tex [S, S, C] -> [S + 2*MARGIN, S + 2*MARGIN, C]."""
+    S = tex.shape[0]
+    ext = S + 2 * MARGIN
+    # T1[y, x'] = T(y, (x' - M) + a*y): shear along x, lines = rows y
+    t1 = shear_pass(tex, a, ext, MARGIN, compute_dtype)         # [S, ext, C]
+    # T2[y', x'] = T1((y' - M) + b*(x' - M), x'): shear along y, lines = x'
+    t1t = jnp.swapaxes(t1, 0, 1)                                # [ext, S, C]
+    lines_off = jnp.arange(ext, dtype=jnp.float32) - MARGIN
+    centers = (jnp.arange(ext, dtype=jnp.float32)[None, :] - MARGIN
+               + b * lines_off[:, None])                        # [ext_x, ext_y]
+    W = _band_weights(centers, S, dtype=compute_dtype, kernel="cubic")
+    t2t = jnp.einsum("lox,lxc->loc", W, t1t.astype(compute_dtype),
+                     preferred_element_type=jnp.float32)        # [ext_x, ext_y, C]
+    return jnp.swapaxes(t2t, 0, 1)                              # [ext_y, ext_x, C]
+
+
+def slab_resample(t2, t_vals, d1, d2, F0, F1, nrr, compute_dtype=jnp.float32):
+    """Per-slab axis-aligned scale+translate on the sheared texture.
+
+    t2 [ext, ext, C]; t_vals [T].  Returns [T, nrr, nrr, C]:
+      out[t, i, j] = t2 sampled at (y = t*d2*i + F_y(t), x = t*d1*j + F_x(t)),
+    array indices offset by MARGIN."""
+    ext = t2.shape[0]
+    ii = jnp.arange(nrr, dtype=jnp.float32)
+    cy = (t_vals[:, None] * d2 * ii[None, :]
+          + (F0[1] + t_vals[:, None] * F1[1]) + MARGIN)         # [T, nrr]
+    cx = (t_vals[:, None] * d1 * ii[None, :]
+          + (F0[0] + t_vals[:, None] * F1[0]) + MARGIN)
+    Wy = _band_weights(cy, ext, dtype=compute_dtype)            # [T, nrr, ext]
+    Wx = _band_weights(cx, ext, dtype=compute_dtype)
+    v = jnp.einsum("tiy,yxc->tixc", Wy, t2.astype(compute_dtype),
+                   preferred_element_type=jnp.float32)          # [T, nrr, ext, C]
+    return jnp.einsum("tjx,tixc->tijc", Wx, v.astype(compute_dtype),
+                      preferred_element_type=jnp.float32)       # [T, nrr, nrr, C]
+
+
+def sample_slabs(planes, coeffs, t_vals, nrr, compute_dtype=jnp.float32):
+    """Mean-over-planes tri-plane features for a chunk of depth slabs.
+
+    planes [N, 3, S, S, C] (already sheared? NO — raw); use
+    `prepare_textures` once and pass its output instead for the hot path.
+    Returns [N, T, nrr, nrr, C]."""
+    prep = prepare_textures(planes, coeffs, compute_dtype)
+    return sample_slabs_prepared(prep, t_vals, nrr, compute_dtype)
+
+
+def prepare_textures(planes, coeffs, compute_dtype=jnp.float32):
+    """Shear all plane textures once (shared across every depth slab).
+
+    Returns dict with sheared textures [N*3, ext, ext, C] and per-plane
+    factorization scalars."""
+    n, q, S, _, c = planes.shape
+    a, b, d1, d2, F0, F1, flip = factor_shears(coeffs["B"], coeffs["E0"],
+                                               coeffs["E1"])
+    tex = planes.reshape(n * q, S, S, c)
+    tex = jnp.where(flip.reshape(n * q)[:, None, None, None],
+                    jnp.swapaxes(tex, 1, 2), tex)
+
+    def one(t, aa, bb):
+        return shear_texture(t, aa, bb, compute_dtype)
+
+    sheared = jax.lax.map(lambda args: one(*args),
+                          (tex, a.reshape(-1), b.reshape(-1)))
+    return {"tex": sheared, "d1": d1.reshape(-1), "d2": d2.reshape(-1),
+            "F0": F0.reshape(-1, 2), "F1": F1.reshape(-1, 2),
+            "n": n, "q": q}
+
+
+def sample_slabs_prepared(prep, t_vals, nrr, compute_dtype=jnp.float32):
+    """[N, T, nrr, nrr, C] mean-over-planes features for depth values
+    t_vals [N, T] (per image)."""
+    n, q = prep["n"], prep["q"]
+    tv = jnp.repeat(t_vals, q, axis=0)  # [N*3, T]
+
+    def one(args):
+        tex, t, d1, d2, F0, F1 = args
+        return slab_resample(tex, t, d1, d2, F0, F1, nrr, compute_dtype)
+
+    per_plane = jax.lax.map(one, (prep["tex"], tv, prep["d1"], prep["d2"],
+                                  prep["F0"], prep["F1"]))  # [N*3, T, r, r, C]
+    tq = per_plane.reshape(n, q, *per_plane.shape[1:])
+    return jnp.mean(tq, axis=1)
+
+
+def frustum_render(planes, decoder, cam2world, intrinsics, rendering_options,
+                   nrr, depth_steps=None, chunk=None,
+                   compute_dtype=jnp.float32):
+    """Full gather-free render: (features [N,R,C], depth [N,R,1],
+    weights [N,R,1]) — same contract as ImportanceRenderer.__call__.
+
+    decoder(feats [N, 3, M, C] or [N, 1, M, C]-broadcastable, dirs) must
+    accept pre-meaned features; we pass [N, 1, M, C] (the reference decoder
+    means over the plane axis, so a singleton is equivalent)."""
+    opts = rendering_options
+    assert opts["ray_start"] != "auto", \
+        "frustum sampler needs static ray_start/ray_end"
+    n = cam2world.shape[0]
+    S = planes.shape[2]
+    T = depth_steps or (opts["depth_resolution"]
+                        + opts["depth_resolution_importance"])
+    chunk = chunk or min(T, 16)
+    assert T % chunk == 0
+
+    coeffs = frustum_coeffs(cam2world, intrinsics, nrr, S, opts["box_warp"])
+    prep = prepare_textures(planes, coeffs, compute_dtype)
+
+    # per-ray direction norms (z-depth t -> Euclidean depth t*|d|)
+    ii = (jnp.arange(nrr, dtype=jnp.float32) + 0.5) / nrr
+    vv, uu = jnp.meshgrid(ii, ii, indexing="ij")
+    d = (uu.reshape(-1)[None, :, None] * coeffs["a_u"][:, None, :]
+         + vv.reshape(-1)[None, :, None] * coeffs["a_v"][:, None, :]
+         + coeffs["a_0"][:, None, :])                       # [N, R, 3]
+    dnorm = jnp.linalg.norm(d, axis=-1)                     # [N, R]
+    dirs = d / dnorm[..., None]
+
+    # z-depth grid covering [ray_start, ray_end] Euclidean for every ray
+    t_lo = opts["ray_start"] / jnp.max(dnorm, axis=1)       # [N]
+    t_hi = opts["ray_end"] / jnp.min(dnorm, axis=1)
+    steps = jnp.linspace(0.0, 1.0, T)
+    t_vals = t_lo[:, None] + steps[None, :] * (t_hi - t_lo)[:, None]  # [N, T]
+
+    r = nrr * nrr
+
+    def decode_chunk(t_chunk):
+        feats = sample_slabs_prepared(prep, t_chunk, nrr, compute_dtype)
+        tc = t_chunk.shape[1]
+        feats = feats.reshape(n, 1, tc * r, -1).astype(jnp.float32)
+        dirs_b = jnp.broadcast_to(dirs[:, None, :, :], (n, tc, r, 3)) \
+            .reshape(n, tc * r, 3)
+        out = decoder(feats, dirs_b)
+        colors = out["rgb"].reshape(n, tc, r, -1)
+        sigmas = out["sigma"].reshape(n, tc, r)
+        depths = t_chunk[:, :, None] * dnorm[:, None, :]    # [N, tc, R]
+        return colors, sigmas, depths
+
+    def composite_step(carry, colors, sigmas, depths):
+        """Front-to-back midpoint compositing of one decoded slab chunk,
+        seamed to the previous chunk's last sample via the carry."""
+        (prev_c, prev_s, prev_d, trans, acc_rgb, acc_d, acc_w) = carry
+        cc = jnp.concatenate([prev_c[:, None], colors], axis=1)
+        ss = jnp.concatenate([prev_s[:, None], sigmas], axis=1)
+        dd = jnp.concatenate([prev_d[:, None], depths], axis=1)
+        deltas = dd[:, 1:] - dd[:, :-1]
+        sig_mid = jax.nn.softplus((ss[:, :-1] + ss[:, 1:]) / 2 - 1)
+        alpha = 1 - jnp.exp(-sig_mid * deltas)              # [N, tc, R]
+        # running transmittance (the reference's shifted cumprod of
+        # (1 - alpha + 1e-10), ray_marcher.py:39-42)
+        one_m = 1 - alpha + 1e-10
+        trans_in = trans[:, None] * jnp.concatenate(
+            [jnp.ones_like(one_m[:, :1]),
+             jnp.cumprod(one_m[:, :-1], axis=1)], axis=1)
+        w = alpha * trans_in
+        acc_rgb = acc_rgb + jnp.einsum("ntr,ntrc->nrc", w,
+                                       (cc[:, :-1] + cc[:, 1:]) / 2)
+        acc_d = acc_d + jnp.sum(w * (dd[:, :-1] + dd[:, 1:]) / 2, axis=1)
+        acc_w = acc_w + jnp.sum(w, axis=1)
+        trans = trans * jnp.prod(one_m, axis=1)
+        return (colors[:, -1], sigmas[:, -1], depths[:, -1], trans,
+                acc_rgb, acc_d, acc_w)
+
+    # first chunk initializes the carry with its own first sample, then
+    # composites its remaining samples (no re-decode)
+    colors0, sigmas0, depths0 = decode_chunk(t_vals[:, :chunk])
+    c_dim = colors0.shape[-1]
+    carry = (colors0[:, 0], sigmas0[:, 0], depths0[:, 0],
+             jnp.ones((n, r), jnp.float32),
+             jnp.zeros((n, r, c_dim), jnp.float32),
+             jnp.zeros((n, r), jnp.float32),
+             jnp.zeros((n, r), jnp.float32))
+    carry = composite_step(carry, colors0[:, 1:], sigmas0[:, 1:],
+                           depths0[:, 1:])
+
+    n_chunks = (T - chunk) // chunk
+    if n_chunks > 0:
+        def scan_body(carry, t_chunk):
+            colors, sigmas, depths = decode_chunk(t_chunk)
+            return composite_step(carry, colors, sigmas, depths), None
+
+        rest = t_vals[:, chunk:].reshape(n, n_chunks, chunk) \
+            .transpose(1, 0, 2)
+        carry, _ = jax.lax.scan(scan_body, carry, rest)
+
+    _, _, _, trans, acc_rgb, acc_d, acc_w = carry
+    depth = acc_d / jnp.maximum(acc_w, 1e-10)
+    depth = jnp.clip(jnp.nan_to_num(depth, nan=jnp.inf),
+                     jnp.min(t_vals * jnp.min(dnorm)),
+                     jnp.max(t_vals * jnp.max(dnorm)))
+    if opts.get("white_back", False):
+        acc_rgb = acc_rgb + (1 - acc_w)[..., None]
+    acc_rgb = acc_rgb * 2 - 1
+    return acc_rgb, depth[..., None], acc_w[..., None]
