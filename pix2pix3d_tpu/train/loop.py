@@ -128,8 +128,12 @@ def training_loop(
     print(f"devices: {num_devices}  batch: {batch_size}  "
           f"G params: {sum(x.size for x in jax.tree_util.tree_leaves(state['G'])):,}")
 
-    # Logs.
+    # Logs: stats.jsonl + TensorBoard events (ref `training_loop.py
+    # :388-399`; wandb is not available in this environment — the TB event
+    # file is the canonical sink, stats.jsonl the greppable one).
     stats_jsonl = open(os.path.join(run_dir, "stats.jsonl"), "at")
+    from .tb import TBWriter
+    tb_writer = TBWriter(run_dir)
     collector = Collector()
 
     # Snapshot grid inputs.
@@ -199,6 +203,7 @@ def training_loop(
         fields.update(means)
         stats_jsonl.write(json.dumps(fields) + "\n")
         stats_jsonl.flush()
+        tb_writer.add_scalars(fields, step=cur_nimg)
         print(f"tick {tick:<5d} kimg {kimg:<8.1f} "
               f"time {format_time(time.time() - start_time):<12s} "
               f"sec/kimg {fields['Timing/sec_per_kimg']:<7.1f} "
@@ -208,7 +213,7 @@ def training_loop(
 
         if image_snapshot_ticks is not None and tick % image_snapshot_ticks == 0:
             _save_fakes(G, state["G_ema"], grid_z, grid_batch, grid_n, run_dir,
-                        cur_nimg, dataset.data_type)
+                        cur_nimg, dataset.data_type, tb_writer=tb_writer)
         if snapshot_ticks is not None and tick % snapshot_ticks == 0:
             save_checkpoint(
                 os.path.join(run_dir, f"network-snapshot-{cur_nimg//1000:06d}.ckpt"),
@@ -230,15 +235,63 @@ def training_loop(
 
 
 def _save_fakes(G, params_ema, grid_z, grid_batch, grid_n, run_dir, cur_nimg,
-                data_type):
+                data_type, tb_writer=None, multiview_yaws=(-0.35, 0.0, 0.35)):
+    """Full snapshot inventory (ref `training_loop.py:602-691`): SR fakes,
+    raw neural render, normalized depth, semantic label map, and a
+    multi-view grid of the first seeds under yaw offsets."""
     batch = {"mask": jnp.asarray(grid_batch["mask"][:grid_n]),
              "pose": jnp.asarray(grid_batch["pose"][:grid_n])}
     out = G(params_ema, jnp.asarray(grid_z), batch["pose"], batch,
             noise_mode="const", det=True)
-    img = (np.asarray(out["image"]) + 1) * 127.5
-    save_image_grid(img, os.path.join(run_dir, f"fakes{cur_nimg//1000:06d}.png"))
+    tag = f"{cur_nimg // 1000:06d}"
+
+    def emit(name, arr_uint8):
+        path = os.path.join(run_dir, f"fakes{tag}{name}.png")
+        grid = save_image_grid(arr_uint8, path)
+        if tb_writer is not None:
+            img = np.clip(np.rint(arr_uint8), 0, 255).astype(np.uint8)
+            if img.shape[-1] == 1:
+                img = np.repeat(img, 3, axis=-1)
+            tb_writer.add_image(f"fakes{name or '/sr'}", _to_grid(img),
+                                cur_nimg)
+        return grid
+
+    emit("", (np.asarray(out["image"]) + 1) * 127.5)
+    emit("_raw", (np.asarray(out["image_raw"]) + 1) * 127.5)
+    depth = np.asarray(out["image_depth"])
+    lo, hi = depth.min(), depth.max()
+    emit("_depth", (depth - lo) / max(hi - lo, 1e-8) * 255.0)
     if data_type == "seg":
         sem = np.argmax(np.asarray(out["semantic"]), axis=-1)
-        save_image_grid(color_mask(sem),
-                        os.path.join(run_dir,
-                                     f"fakes{cur_nimg//1000:06d}_label.png"))
+        emit("_label", color_mask(sem))
+
+    # multi-view grid: first seeds rendered under yaw offsets around the
+    # canonical orbit (ref's multi-view snapshot, `training_loop.py:643-668`)
+    n_mv = min(grid_n, 3)
+    views = []
+    for yaw in multiview_yaws:
+        c2w = LookAtPoseSampler.sample(
+            None, np.pi / 2 + yaw, np.pi / 2, [0, 0, 0], radius=2.7,
+            batch_size=n_mv)
+        pose_mv = pose_to_conditioning(
+            jnp.asarray(c2w), jnp.asarray(grid_batch["pose"][0, 16:25])
+            .reshape(3, 3))
+        mv = G(params_ema, jnp.asarray(grid_z[:n_mv]), pose_mv,
+               {"mask": batch["mask"][:n_mv], "pose": batch["pose"][:n_mv]},
+               noise_mode="const", det=True)
+        views.append((np.asarray(mv["image"]) + 1) * 127.5)
+    mv_grid = np.concatenate(views, axis=0)  # [n_yaws * n_mv, H, W, 3]
+    save_image_grid(mv_grid, os.path.join(run_dir, f"fakes{tag}_mv.png"),
+                    grid_cols=n_mv)
+
+
+def _to_grid(images):
+    """[N, H, W, C] uint8 -> one [H', W', C] grid array (for TB images)."""
+    n, h, w, c = images.shape
+    cols = int(np.ceil(np.sqrt(n)))
+    rows = int(np.ceil(n / cols))
+    grid = np.zeros((rows * h, cols * w, c), dtype=np.uint8)
+    for i in range(n):
+        r, col = divmod(i, cols)
+        grid[r * h:(r + 1) * h, col * w:(col + 1) * w] = images[i]
+    return grid

