@@ -26,7 +26,7 @@ import time
 import numpy as np
 
 BASELINE_IPS = 30.0  # estimated reference images/sec on A100 (see docstring)
-BATCH = 8
+BATCH = 16  # batch 8: 34.4 img/s; 16: 36.1; 32: 36.2 (NOTES_PERF round 2)
 WARMUP = 2
 ITERS = 8
 

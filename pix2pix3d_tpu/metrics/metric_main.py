@@ -86,6 +86,39 @@ def is50k(opts):
 
 
 @register_metric
+def eqt50k_int(opts):
+    from .equivariance import compute_equivariance_metrics
+    r = compute_equivariance_metrics(opts, num_samples=50000, batch_size=4,
+                                     compute_eqt_int=True)
+    return {"eqt50k_int": r["eqt_int"]}
+
+
+@register_metric
+def eqt50k_frac(opts):
+    from .equivariance import compute_equivariance_metrics
+    r = compute_equivariance_metrics(opts, num_samples=50000, batch_size=4,
+                                     compute_eqt_frac=True)
+    return {"eqt50k_frac": r["eqt_frac"]}
+
+
+@register_metric
+def eqr50k(opts):
+    from .equivariance import compute_equivariance_metrics
+    r = compute_equivariance_metrics(opts, num_samples=50000, batch_size=4,
+                                     compute_eqr=True)
+    return {"eqr50k": r["eqr"]}
+
+
+@register_metric
+def eq100(opts):
+    """Cheap all-three equivariance eval for smoke testing / training."""
+    from .equivariance import compute_equivariance_metrics
+    return compute_equivariance_metrics(
+        opts, num_samples=100, batch_size=4, compute_eqt_int=True,
+        compute_eqt_frac=True, compute_eqr=True)
+
+
+@register_metric
 def miou500(opts):
     return compute_miou(opts, num_items=500)
 

@@ -294,12 +294,15 @@ def frustum_render(planes, decoder, cam2world, intrinsics, rendering_options,
     def decode_chunk(t_chunk):
         feats = sample_slabs_prepared(prep, t_chunk, nrr, compute_dtype)
         tc = t_chunk.shape[1]
-        feats = feats.reshape(n, 1, tc * r, -1).astype(jnp.float32)
+        # run the decoder MLP in the compute dtype (bf16 in serving mode):
+        # it is HBM-bandwidth bound ([pts, 64] hidden dominates), and the
+        # matmuls accumulate in f32 regardless; compositing is f32
+        feats = feats.reshape(n, 1, tc * r, -1).astype(compute_dtype)
         dirs_b = jnp.broadcast_to(dirs[:, None, :, :], (n, tc, r, 3)) \
             .reshape(n, tc * r, 3)
         out = decoder(feats, dirs_b)
-        colors = out["rgb"].reshape(n, tc, r, -1)
-        sigmas = out["sigma"].reshape(n, tc, r)
+        colors = out["rgb"].reshape(n, tc, r, -1).astype(jnp.float32)
+        sigmas = out["sigma"].reshape(n, tc, r).astype(jnp.float32)
         depths = t_chunk[:, :, None] * dnorm[:, None, :]    # [N, tc, R]
         return colors, sigmas, depths
 
