@@ -255,11 +255,11 @@ class DualDiscriminator(_DiscriminatorBase):
         self.disc_c_noise = disc_c_noise
         self.resample_filter = setup_filter([1, 3, 3, 1])
 
-    def __call__(self, params, img, c, force_fp32=False, rng=None, raw_fade=1.0,
+    def __call__(self, params, img, c, force_fp32=False, rng=None, raw_fade=None,
                  **unused_kwargs):
         image_raw = filtered_resizing(img["image_raw"], size=img["image"].shape[1],
                                       f=self.resample_filter)
-        if raw_fade is not None and raw_fade != 1.0:
+        if raw_fade is not None:  # may be a traced scalar (scheduled fade)
             image_raw = image_raw * raw_fade
         x = jnp.concatenate([img["image"], image_raw], axis=-1)
 

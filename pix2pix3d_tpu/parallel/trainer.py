@@ -137,7 +137,7 @@ class Trainer:
 
     def _device_step(self, state, batch, gen_z, gen_c, rng, ema_beta,
                      do_greg, do_dreg, do_dsemreg, blur_sigma, nrr,
-                     aug_p=None, blur_size=None):
+                     aug_p=None, blur_size=None, raw_fade=None):
         """One full training iteration on one device's shard.
 
         `blur_sigma` is traced (a scalar array) when `blur_size` is a
@@ -177,7 +177,7 @@ class Trainer:
             return loss.g_main(p, state["D"], dsem, mb(batch, r),
                                mb(gen_z[0], r), mb(gen_c[0], r),
                                jax.random.fold_in(rngs[0], r), blur_sigma, nrr,
-                               aug_p=aug_p)
+                               aug_p=aug_p, raw_fade=raw_fade)
         state["G"], state["opt_G"], s = self._phase_update(
             gmain, state["G"], self.opt_g, state["opt_G"], 1.0, axis)
         add_stats(s)
@@ -197,7 +197,8 @@ class Trainer:
             l, (s, aux) = loss.d_main(p, state["G"], mb(batch, r),
                                       mb(gen_z[2], r), mb(gen_c[2], r),
                                       jax.random.fold_in(rngs[2], r),
-                                      blur_sigma, nrr, aug_p=aug_p)
+                                      blur_sigma, nrr, aug_p=aug_p,
+                                      raw_fade=raw_fade)
             # reduce ws inside the round so accumulation can sum it
             return l, dict(s, **{"_ws_mean": jnp.mean(aux["ws"], axis=0)
                                  / rounds})
@@ -212,7 +213,7 @@ class Trainer:
             def dreg(p, r):
                 return loss.d_r1(p, mb(batch, r),
                                  jax.random.fold_in(rngs[3], r), blur_sigma, nrr,
-                                 aug_p=aug_p)
+                                 aug_p=aug_p, raw_fade=raw_fade)
             state["D"], state["opt_D"], s = self._phase_update(
                 dreg, state["D"], self.opt_d, state["opt_D"],
                 float(self.d_reg_interval), axis)
@@ -224,7 +225,8 @@ class Trainer:
                 return loss.d_semantic_main(p, state["G"], mb(batch, r),
                                             mb(gen_z[3], r), mb(gen_c[3], r),
                                             jax.random.fold_in(rngs[4], r),
-                                            blur_sigma, nrr, aug_p=aug_p)
+                                            blur_sigma, nrr, aug_p=aug_p,
+                                            raw_fade=raw_fade)
             state["D_semantic"], state["opt_D_semantic"], s = self._phase_update(
                 dsmain, state["D_semantic"], self.opt_dsem,
                 state["opt_D_semantic"], 1.0, axis)
@@ -234,7 +236,8 @@ class Trainer:
                 def dsreg(p, r):
                     return loss.d_semantic_r1(p, mb(batch, r),
                                               jax.random.fold_in(rngs[5], r),
-                                              blur_sigma, nrr, aug_p=aug_p)
+                                              blur_sigma, nrr, aug_p=aug_p,
+                                              raw_fade=raw_fade)
                 state["D_semantic"], state["opt_D_semantic"], s = self._phase_update(
                     dsreg, state["D_semantic"], self.opt_dsem,
                     state["opt_D_semantic"], float(self.d_reg_interval), axis)
@@ -288,40 +291,31 @@ class Trainer:
                                do_dreg=do_dreg, do_dsemreg=do_dsemreg,
                                nrr=nrr)
 
-        # Only thread dynamic scalars (blur σ, ADA p) through the traced
-        # signature when the corresponding feature is active — keeps
-        # no-blur/no-aug programs byte-identical and their compile cache
-        # warm across rounds.
-        has_blur = blur_size > 0
-        has_aug = self.loss.augment_pipe is not None
-        in_specs = (rep, data, phase_data, phase_data, rep, rep)
-        if has_blur:
+        # Only thread dynamic scalars (blur σ, raw_fade, ADA p) through the
+        # traced signature when the corresponding feature is active — keeps
+        # baseline programs byte-identical and their compile cache warm
+        # across rounds.  `dyn_names` fixes the positional order of the
+        # active extras.
+        dyn_names = []
+        if blur_size > 0:
             fn = functools.partial(fn, blur_size=blur_size)
-            in_specs = in_specs + (rep,)   # traced blur_sigma
+            dyn_names.append("blur_sigma")
         else:
             fn = functools.partial(fn, blur_sigma=0.0)
-        if has_aug:
-            in_specs = in_specs + (rep,)   # traced aug_p
+        if self.loss.raw_fade_kimg:
+            dyn_names.append("raw_fade")
+        if self.loss.augment_pipe is not None:
+            dyn_names.append("aug_p")
         else:
             fn = functools.partial(fn, aug_p=None)
+        in_specs = (rep, data, phase_data, phase_data, rep, rep) \
+            + (rep,) * len(dyn_names)
 
-        if has_blur and has_aug:
-            def ordered(state, batch, gen_z, gen_c, rng, ema_beta,
-                        blur_sigma, aug_p, _fn=fn):
+        if dyn_names:
+            def ordered(state, batch, gen_z, gen_c, rng, ema_beta, *dyn,
+                        _fn=fn, _names=tuple(dyn_names)):
                 return _fn(state, batch, gen_z, gen_c, rng, ema_beta,
-                           blur_sigma=blur_sigma, aug_p=aug_p)
-            fn = ordered
-        elif has_blur:
-            def ordered(state, batch, gen_z, gen_c, rng, ema_beta,
-                        blur_sigma, _fn=fn):
-                return _fn(state, batch, gen_z, gen_c, rng, ema_beta,
-                           blur_sigma=blur_sigma)
-            fn = ordered
-        elif has_aug:
-            def ordered(state, batch, gen_z, gen_c, rng, ema_beta, aug_p,
-                        _fn=fn):
-                return _fn(state, batch, gen_z, gen_c, rng, ema_beta,
-                           aug_p=aug_p)
+                           **dict(zip(_names, dyn)))
             fn = ordered
 
         sharded = jax.shard_map(
@@ -355,6 +349,8 @@ class Trainer:
                 jnp.asarray(beta, jnp.float32))
         if blur_size > 0:
             args = args + (jnp.asarray(blur_sigma, jnp.float32),)
+        if self.loss.raw_fade_kimg:
+            args = args + (jnp.asarray(sched["raw_fade"], jnp.float32),)
         if self.loss.augment_pipe is not None:
             args = args + (jnp.asarray(aug_p, jnp.float32),)
         return step_fn(*args)

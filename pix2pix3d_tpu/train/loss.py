@@ -90,7 +90,8 @@ class Pix2Pix3DLoss:
                  random_c_prob=0.0, lambda_l1=2.0, lambda_lpips=10.0,
                  lambda_D_semantic=1.0, seg_weight=0, edge_weight=2.0,
                  only_raw_recons=False, silhouette_loss=False,
-                 lambda_cross_view=0.0, style_mixing_prob=0.0):
+                 lambda_cross_view=0.0, style_mixing_prob=0.0,
+                 raw_fade_kimg=None):
         self.G = G
         self.D = D
         self.D_semantic = D_semantic
@@ -114,6 +115,12 @@ class Pix2Pix3DLoss:
         self.only_raw_recons = only_raw_recons
         self.silhouette_loss = silhouette_loss
         self.lambda_cross_view = lambda_cross_view
+        # DummyDualDiscriminator subsumption (ref `dual_discriminator.py
+        # :180-248`): when set, the raw branch of D fades 1 -> 0 over
+        # `raw_fade_kimg` thousand images (the reference hardcodes a decay
+        # of 1/(500000/32) per forward, i.e. ~500 kimg at batch 32, via a
+        # stateful counter; here it is an explicit schedule like blur).
+        self.raw_fade_kimg = raw_fade_kimg
         # The reference DEFINES style_mixing_prob but its application is
         # commented out in run_G (ref `loss.py:449-453`) — a nonzero value
         # is silently inert there.  We match that behavior but refuse to be
@@ -146,7 +153,10 @@ class Pix2Pix3DLoss:
                               + self.nrr_final * alpha))
         else:
             nrr = self.nrr_initial
-        return dict(blur_sigma=float(blur_sigma), neural_rendering_resolution=nrr)
+        raw_fade = (max(1 - cur_nimg / (self.raw_fade_kimg * 1e3), 0)
+                    if self.raw_fade_kimg else None)
+        return dict(blur_sigma=float(blur_sigma),
+                    neural_rendering_resolution=nrr, raw_fade=raw_fade)
 
     # --------------------------------------------------------------- pieces
     def _blur(self, image, blur_sigma):
@@ -188,22 +198,24 @@ class Pix2Pix3DLoss:
         return pair[..., :c], resize_bilinear(pair[..., c:], raw_res,
                                               antialias=True)
 
-    def run_D(self, params_d, img, c, blur_sigma, rng=None, aug=None):
+    def run_D(self, params_d, img, c, blur_sigma, rng=None, aug=None,
+              raw_fade=None):
         image = self._blur(img["image"], blur_sigma)
         image_raw = img["image_raw"]
         if self.augment_pipe is not None and aug is not None:
             image, image_raw = self._augment_pair(image, image_raw, *aug)
         return self.D(params_d, {"image": image, "image_raw": image_raw},
-                      c, rng=rng)
+                      c, rng=rng, raw_fade=raw_fade)
 
-    def run_D_semantic(self, params_dsem, img, c, blur_sigma, rng=None, aug=None):
+    def run_D_semantic(self, params_dsem, img, c, blur_sigma, rng=None,
+                       aug=None, raw_fade=None):
         image = self._blur(img["image"], blur_sigma)
         image_raw = img["image_raw"]
         if self.augment_pipe is not None and aug is not None:
             image, image_raw = self._augment_pair(image, image_raw, *aug)
         return self.D_semantic(params_dsem,
                                {"image": image, "image_raw": image_raw},
-                               c, rng=rng)
+                               c, rng=rng, raw_fade=raw_fade)
 
     def _semantic_concat(self, gen_img, detach_rgb):
         """[image | semantic] concat for D_semantic (ref :568-593).
@@ -237,7 +249,7 @@ class Pix2Pix3DLoss:
 
     # --------------------------------------------------------------- phases
     def g_main(self, params_g, params_d, params_dsem, batch, gen_z, gen_c,
-               rng, blur_sigma, nrr, aug_p=None):
+               rng, blur_sigma, nrr, aug_p=None, raw_fade=None):
         stats = StatsAccumulator()
         r_coin, r_g, r_d, r_cv1, r_cv2, r_cv3 = jax.random.split(rng, 6)
         aug = (None if (self.augment_pipe is None or aug_p is None)
@@ -248,7 +260,7 @@ class Pix2Pix3DLoss:
 
         gen_img, _ws = self.run_G(params_g, gen_z, batch, c_render, nrr, r_g)
         gen_logits = self.run_D(params_d, gen_img, c_render, blur_sigma,
-                                rng=r_d, aug=aug)
+                                rng=r_d, aug=aug, raw_fade=raw_fade)
         stats.report("Loss/scores/fake", gen_logits)
         stats.report("Loss/signs/fake", jnp.sign(gen_logits))
         loss = jnp.mean(jax.nn.softplus(-gen_logits))
@@ -256,7 +268,7 @@ class Pix2Pix3DLoss:
         if self.D_semantic is not None:
             input_img = self._semantic_concat(gen_img, detach_rgb=True)
             logits_sem = self.run_D_semantic(params_dsem, input_img, c_render,
-                                             blur_sigma, aug=aug)
+                                             blur_sigma, aug=aug, raw_fade=raw_fade)
             stats.report("Loss/scores/fake_semantic", logits_sem)
             loss = loss + jnp.mean(jax.nn.softplus(-logits_sem)) * self.lambda_D_semantic
 
@@ -365,7 +377,7 @@ class Pix2Pix3DLoss:
         return loss, {}
 
     def d_main(self, params_d, params_g, batch, gen_z, gen_c, rng, blur_sigma,
-               nrr, aug_p=None):
+               nrr, aug_p=None, raw_fade=None):
         stats = StatsAccumulator()
         r_coin, r_g, r_d1, r_d2 = jax.random.split(rng, 4)
         aug = (None if (self.augment_pipe is None or aug_p is None)
@@ -376,14 +388,14 @@ class Pix2Pix3DLoss:
         gen_img, ws = self.run_G(params_g, gen_z, batch, c_render, nrr, r_g)
         gen_img = jax.tree_util.tree_map(jax.lax.stop_gradient, gen_img)
         gen_logits = self.run_D(params_d, gen_img, c_render, blur_sigma,
-                                rng=r_d1, aug=aug)
+                                rng=r_d1, aug=aug, raw_fade=raw_fade)
         stats.report("Loss/scores/fake", gen_logits)
         stats.report("Loss/signs/fake", jnp.sign(gen_logits))
         loss_dgen = jnp.mean(jax.nn.softplus(gen_logits))
 
         real = self._real_pair(batch, nrr, blur_sigma)
         real_logits = self.run_D(params_d, real, batch["pose"], blur_sigma,
-                                 rng=r_d2, aug=aug)
+                                 rng=r_d2, aug=aug, raw_fade=raw_fade)
         stats.report("Loss/scores/real", real_logits)
         stats.report("Loss/signs/real", jnp.sign(real_logits))
         loss_dreal = jnp.mean(jax.nn.softplus(-real_logits))
@@ -393,7 +405,7 @@ class Pix2Pix3DLoss:
         aux = {"ws": jax.lax.stop_gradient(ws)}
         return loss_dgen + loss_dreal, (stats.asdict(), aux)
 
-    def d_r1(self, params_d, batch, rng, blur_sigma, nrr, aug_p=None):
+    def d_r1(self, params_d, batch, rng, blur_sigma, nrr, aug_p=None, raw_fade=None):
         """R1 on both real image and raw (ref :871-888); inner jax.grad wrt
         the images, outer differentiation wrt params_d flows through it."""
         stats = StatsAccumulator()
@@ -403,7 +415,7 @@ class Pix2Pix3DLoss:
 
         def logits_sum(image, image_raw):
             out = self.run_D(params_d, {"image": image, "image_raw": image_raw},
-                             batch["pose"], blur_sigma, rng=rng, aug=aug)
+                             batch["pose"], blur_sigma, rng=rng, aug=aug, raw_fade=raw_fade)
             return jnp.sum(out)
 
         g_img, g_raw = jax.grad(logits_sum, argnums=(0, 1))(
@@ -417,7 +429,7 @@ class Pix2Pix3DLoss:
         return loss, stats.asdict()
 
     def d_semantic_main(self, params_dsem, params_g, batch, gen_z, gen_c, rng,
-                        blur_sigma, nrr, aug_p=None):
+                        blur_sigma, nrr, aug_p=None, raw_fade=None):
         stats = StatsAccumulator()
         r_coin, r_g, r_d = jax.random.split(rng, 3)
         aug = (None if (self.augment_pipe is None or aug_p is None)
@@ -429,13 +441,13 @@ class Pix2Pix3DLoss:
         gen_img = jax.tree_util.tree_map(jax.lax.stop_gradient, gen_img)
         input_img = self._semantic_concat(gen_img, detach_rgb=False)
         logits = self.run_D_semantic(params_dsem, input_img, c_render,
-                                     blur_sigma, aug=aug)
+                                     blur_sigma, aug=aug, raw_fade=raw_fade)
         stats.report("Loss/scores/fake_semantic", logits)
         loss_gen = jnp.mean(jax.nn.softplus(logits))
 
         real_cat = self._real_semantic_pair(batch, nrr, blur_sigma)
         real_logits = self.run_D_semantic(params_dsem, real_cat, batch["pose"],
-                                          blur_sigma, aug=aug)
+                                          blur_sigma, aug=aug, raw_fade=raw_fade)
         stats.report("Loss/scores/real_semantic", real_logits)
         loss_real = jnp.mean(jax.nn.softplus(-real_logits))
         stats.report("Loss/D/loss_semantic", loss_gen + loss_real)
@@ -453,7 +465,7 @@ class Pix2Pix3DLoss:
         return {"image": jnp.concatenate([real["image"], mask], axis=-1),
                 "image_raw": jnp.concatenate([real["image_raw"], mask_raw], axis=-1)}
 
-    def d_semantic_r1(self, params_dsem, batch, rng, blur_sigma, nrr, aug_p=None):
+    def d_semantic_r1(self, params_dsem, batch, rng, blur_sigma, nrr, aug_p=None, raw_fade=None):
         stats = StatsAccumulator()
         real_cat = self._real_semantic_pair(batch, nrr, blur_sigma)
         aug = (None if (self.augment_pipe is None or aug_p is None)
@@ -462,7 +474,7 @@ class Pix2Pix3DLoss:
         def logits_sum(image, image_raw):
             out = self.run_D_semantic(
                 params_dsem, {"image": image, "image_raw": image_raw},
-                batch["pose"], blur_sigma, aug=aug)
+                batch["pose"], blur_sigma, aug=aug, raw_fade=raw_fade)
             return jnp.sum(out)
 
         g_img, g_raw = jax.grad(logits_sum, argnums=(0, 1))(

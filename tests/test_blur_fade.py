@@ -43,6 +43,7 @@ class _StubLoss:
         self.augment_pipe = None
         self.blur_init_sigma = blur_init_sigma
         self.blur_fade_kimg = blur_fade_kimg
+        self.raw_fade_kimg = None
         self.traces = 0
         # borrow the real schedule formula
         self.schedule = lambda cur_nimg: Pix2Pix3DLoss.schedule(self, cur_nimg)
@@ -56,7 +57,7 @@ class _StubLoss:
         return jnp.asarray(blur_sigma, jnp.float32)
 
     def g_main(self, p, pd, pdsem, batch, z, c, rng, blur_sigma, nrr,
-               aug_p=None):
+               aug_p=None, raw_fade=None):
         self.traces += 1
         s = self._sigma_of(blur_sigma)
         return jnp.sum(p["w"]) * 0.0 + s * 0.0, {"sigma": s}
@@ -64,12 +65,14 @@ class _StubLoss:
     def g_reg(self, p, batch, z, rng):
         return jnp.sum(p["w"]) * 0.0, {}
 
-    def d_main(self, p, pg, batch, z, c, rng, blur_sigma, nrr, aug_p=None):
+    def d_main(self, p, pg, batch, z, c, rng, blur_sigma, nrr, aug_p=None,
+               raw_fade=None):
         s = self._sigma_of(blur_sigma)
         ws = jnp.zeros((z.shape[0], 2, 4), jnp.float32)
         return jnp.sum(p["w"]) * 0.0 + s * 0.0, ({"d_sigma": s}, {"ws": ws})
 
-    def d_r1(self, p, batch, rng, blur_sigma, nrr, aug_p=None):
+    def d_r1(self, p, batch, rng, blur_sigma, nrr, aug_p=None,
+             raw_fade=None):
         return jnp.sum(p["w"]) * 0.0, {}
 
 
