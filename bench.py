@@ -26,7 +26,7 @@ import time
 import numpy as np
 
 BASELINE_IPS = 30.0  # estimated reference images/sec on A100 (see docstring)
-BATCH = 16  # batch 8: 34.4 img/s; 16: 36.1; 32: 36.2 (NOTES_PERF round 2)
+BATCH = 16  # best measured batch (NOTES_PERF round 2/2b)
 WARMUP = 2
 ITERS = 8
 
@@ -50,7 +50,7 @@ def main():
     if sampler == "frustum":
         G.rendering_kwargs["sampler"] = "frustum"
         G.rendering_kwargs["frustum_depth_steps"] = 96
-        G.rendering_kwargs["frustum_chunk"] = 16
+        G.rendering_kwargs["frustum_chunk"] = 8
     params = G.init(jax.random.PRNGKey(0))
 
     rng = np.random.RandomState(0)

@@ -184,22 +184,47 @@ def shear_texture(tex, a, b, compute_dtype=jnp.float32):
     return jnp.swapaxes(t2t, 0, 1)                              # [ext_y, ext_x, C]
 
 
-def slab_resample(t2, t_vals, d1, d2, F0, F1, nrr, compute_dtype=jnp.float32):
+def slab_resample(t2, t_vals, d1, d2, F0, F1, nrr, compute_dtype=jnp.float32,
+                  win=None):
     """Per-slab axis-aligned scale+translate on the sheared texture.
 
     t2 [ext, ext, C]; t_vals [T].  Returns [T, nrr, nrr, C]:
       out[t, i, j] = t2 sampled at (y = t*d2*i + F_y(t), x = t*d1*j + F_x(t)),
-    array indices offset by MARGIN."""
+    array indices offset by MARGIN.
+
+    win=(win_y, win_x): contract only a dynamic window of the texture that
+    covers every tap of this chunk's centers (the chunk's support spans
+    max|t*d|*(nrr-1) + per-slab drift texels — ~230-270 at the seg2cat
+    orbit vs ext=512).  Mathematically identical to the full contraction
+    (the hat weights outside the support are zero; zero-padding semantics
+    for off-texture centers are preserved because clamping the window to
+    the texture keeps exactly the taps the full version had).  Cuts the
+    banded-matmul FLOPs ~2.3x and the [T, nrr, ext, C] intermediate 25%;
+    exactness vs the full path is asserted in tests/test_frustum.py."""
     ext = t2.shape[0]
     ii = jnp.arange(nrr, dtype=jnp.float32)
     cy = (t_vals[:, None] * d2 * ii[None, :]
           + (F0[1] + t_vals[:, None] * F1[1]) + MARGIN)         # [T, nrr]
     cx = (t_vals[:, None] * d1 * ii[None, :]
           + (F0[0] + t_vals[:, None] * F1[0]) + MARGIN)
-    Wy = _band_weights(cy, ext, dtype=compute_dtype)            # [T, nrr, ext]
-    Wx = _band_weights(cx, ext, dtype=compute_dtype)
+    ext_y = ext_x = ext
+    if win is not None and min(win) < ext:
+        win_y, win_x = min(win[0], ext), min(win[1], ext)
+        # starts rounded down to sublane multiples (8) so the slice keeps
+        # the texture's tiled layout; windows carry >=8 texels of slack
+        y0 = (jnp.clip(jnp.floor(jnp.min(cy)) - 2.0, 0, ext - win_y)
+              .astype(jnp.int32) // 8) * 8
+        x0 = (jnp.clip(jnp.floor(jnp.min(cx)) - 2.0, 0, ext - win_x)
+              .astype(jnp.int32) // 8) * 8
+        t2 = jax.lax.dynamic_slice(t2, (y0, x0, 0),
+                                   (win_y, win_x, t2.shape[2]))
+        cy = cy - y0.astype(jnp.float32)
+        cx = cx - x0.astype(jnp.float32)
+        ext_y, ext_x = win_y, win_x
+    Wy = _band_weights(cy, ext_y, dtype=compute_dtype)          # [T, nrr, wy]
+    Wx = _band_weights(cx, ext_x, dtype=compute_dtype)
     v = jnp.einsum("tiy,yxc->tixc", Wy, t2.astype(compute_dtype),
-                   preferred_element_type=jnp.float32)          # [T, nrr, ext, C]
+                   preferred_element_type=jnp.float32)          # [T, nrr, wx, C]
     return jnp.einsum("tjx,tixc->tijc", Wx, v.astype(compute_dtype),
                       preferred_element_type=jnp.float32)       # [T, nrr, nrr, C]
 
@@ -229,31 +254,46 @@ def prepare_textures(planes, coeffs, compute_dtype=jnp.float32):
     def one(t, aa, bb):
         return shear_texture(t, aa, bb, compute_dtype)
 
-    sheared = jax.lax.map(lambda args: one(*args),
-                          (tex, a.reshape(-1), b.reshape(-1)))
+    sheared = jax.vmap(one)(tex, a.reshape(-1), b.reshape(-1))
     return {"tex": sheared, "d1": d1.reshape(-1), "d2": d2.reshape(-1),
             "F0": F0.reshape(-1, 2), "F1": F1.reshape(-1, 2),
             "n": n, "q": q}
 
 
-def sample_slabs_prepared(prep, t_vals, nrr, compute_dtype=jnp.float32):
+def sample_slabs_prepared(prep, t_vals, nrr, compute_dtype=jnp.float32,
+                          win=None):
     """[N, T, nrr, nrr, C] mean-over-planes features for depth values
-    t_vals [N, T] (per image)."""
+    t_vals [N, T] (per image).  Result dtype is compute_dtype (f32
+    accumulation happens inside).
+
+    Structure notes (measured on v5e):
+      - lax.map, NOT vmap: vmap turns the per-texture window dynamic_slice
+        into a batched gather that costs more than the windowing saves
+        (324 vs 218 ms/batch on the full render stage);
+      - the mean over the 3 planes is folded into the map body (statically
+        unrolled) so the wide pre-mean [N*3, T, r, r, C] tensor is never
+        written to HBM, and the output is stored once in compute_dtype."""
     n, q = prep["n"], prep["q"]
-    tv = jnp.repeat(t_vals, q, axis=0)  # [N*3, T]
+    sh = prep["tex"].shape[1:]
 
     def one(args):
-        tex, t, d1, d2, F0, F1 = args
-        return slab_resample(tex, t, d1, d2, F0, F1, nrr, compute_dtype)
+        texs, t, d1s, d2s, F0s, F1s = args  # texs [q, ext, ext, C]
+        acc = 0.0
+        for qi in range(q):
+            acc = acc + slab_resample(texs[qi], t, d1s[qi], d2s[qi],
+                                      F0s[qi], F1s[qi], nrr, compute_dtype,
+                                      win=win)
+        return (acc / q).astype(compute_dtype)
 
-    per_plane = jax.lax.map(one, (prep["tex"], tv, prep["d1"], prep["d2"],
-                                  prep["F0"], prep["F1"]))  # [N*3, T, r, r, C]
-    tq = per_plane.reshape(n, q, *per_plane.shape[1:])
-    return jnp.mean(tq, axis=1)
+    return jax.lax.map(one, (prep["tex"].reshape(n, q, *sh), t_vals,
+                             prep["d1"].reshape(n, q),
+                             prep["d2"].reshape(n, q),
+                             prep["F0"].reshape(n, q, 2),
+                             prep["F1"].reshape(n, q, 2)))  # [N, T, r, r, C]
 
 
 def frustum_render(planes, decoder, cam2world, intrinsics, rendering_options,
-                   nrr, depth_steps=None, chunk=None,
+                   nrr, depth_steps=None, chunk=None, window=None,
                    compute_dtype=jnp.float32):
     """Full gather-free render: (features [N,R,C], depth [N,R,1],
     weights [N,R,1]) — same contract as ImportanceRenderer.__call__.
@@ -268,8 +308,24 @@ def frustum_render(planes, decoder, cam2world, intrinsics, rendering_options,
     S = planes.shape[2]
     T = depth_steps or (opts["depth_resolution"]
                         + opts["depth_resolution_importance"])
-    chunk = chunk or min(T, 16)
+    chunk = chunk or min(T, 8)
     assert T % chunk == 0
+    if window is None:
+        # Chunk-support-sized contraction windows (see slab_resample).  At
+        # the standard orbit with nrr<=128 the per-slab support spans
+        # <=236 texels (max |t*d|*(nrr-1)), and the window drifts
+        # ~|d*nrr + F1| * t_range * chunk/T texels across a chunk (~3.7/slab
+        # at T=96).  Sizes are MXU-tile multiples of 128 with slack;
+        # supports that scale past them (large nrr, chunks spanning a big
+        # t-range) fall back to the full contraction, as do callers outside
+        # the standard orbit passing window=(ext, ext).
+        ext_full = S + 2 * MARGIN
+        if nrr <= 128 and chunk / T <= 1 / 12:
+            window = (256, 384)
+        elif nrr <= 128 and chunk / T <= 1 / 6:
+            window = (384, 448)
+        else:
+            window = (ext_full, ext_full)
 
     coeffs = frustum_coeffs(cam2world, intrinsics, nrr, S, opts["box_warp"])
     prep = prepare_textures(planes, coeffs, compute_dtype)
@@ -292,7 +348,8 @@ def frustum_render(planes, decoder, cam2world, intrinsics, rendering_options,
     r = nrr * nrr
 
     def decode_chunk(t_chunk):
-        feats = sample_slabs_prepared(prep, t_chunk, nrr, compute_dtype)
+        feats = sample_slabs_prepared(prep, t_chunk, nrr, compute_dtype,
+                                      win=window)
         tc = t_chunk.shape[1]
         # run the decoder MLP in the compute dtype (bf16 in serving mode):
         # it is HBM-bandwidth bound ([pts, 64] hidden dominates), and the
@@ -301,16 +358,26 @@ def frustum_render(planes, decoder, cam2world, intrinsics, rendering_options,
         dirs_b = jnp.broadcast_to(dirs[:, None, :, :], (n, tc, r, 3)) \
             .reshape(n, tc * r, 3)
         out = decoder(feats, dirs_b)
-        colors = out["rgb"].reshape(n, tc, r, -1).astype(jnp.float32)
+        # colors stay in the compute dtype: the composite contracts them
+        # once with f32 accumulation, so bf16 storage halves the dominant
+        # HBM stream of the decode+composite stage
+        colors = out["rgb"].reshape(n, tc, r, -1).astype(compute_dtype)
         sigmas = out["sigma"].reshape(n, tc, r).astype(jnp.float32)
         depths = t_chunk[:, :, None] * dnorm[:, None, :]    # [N, tc, R]
         return colors, sigmas, depths
 
     def composite_step(carry, colors, sigmas, depths):
         """Front-to-back midpoint compositing of one decoded slab chunk,
-        seamed to the previous chunk's last sample via the carry."""
+        seamed to the previous chunk's last sample via the carry.
+
+        The color payload (the wide [N, tc, R, 64] tensor) is contracted
+        exactly once: the midpoint sum  sum_k w_k (c_{k-1} + c_k)/2  is
+        regrouped per sample as
+            prev_c * w_0/2 + sum_k c_k (w_k + w_{k+1})/2,   w_tc := 0,
+        so no concatenated/averaged copy of `colors` is ever materialized
+        (the last sample's remaining w/2 share is carried to the next
+        chunk as prev_c)."""
         (prev_c, prev_s, prev_d, trans, acc_rgb, acc_d, acc_w) = carry
-        cc = jnp.concatenate([prev_c[:, None], colors], axis=1)
         ss = jnp.concatenate([prev_s[:, None], sigmas], axis=1)
         dd = jnp.concatenate([prev_d[:, None], depths], axis=1)
         deltas = dd[:, 1:] - dd[:, :-1]
@@ -323,9 +390,14 @@ def frustum_render(planes, decoder, cam2world, intrinsics, rendering_options,
             [jnp.ones_like(one_m[:, :1]),
              jnp.cumprod(one_m[:, :-1], axis=1)], axis=1)
         w = alpha * trans_in
-        acc_rgb = acc_rgb + jnp.einsum("ntr,ntrc->nrc", w,
-                                       (cc[:, :-1] + cc[:, 1:]) / 2)
-        acc_d = acc_d + jnp.sum(w * (dd[:, :-1] + dd[:, 1:]) / 2, axis=1)
+        w_shift = 0.5 * (w + jnp.concatenate(
+            [w[:, 1:], jnp.zeros_like(w[:, :1])], axis=1))
+        acc_rgb = (acc_rgb
+                   + prev_c.astype(jnp.float32) * (0.5 * w[:, 0])[..., None]
+                   + jnp.einsum("ntr,ntrc->nrc", w_shift, colors,
+                                preferred_element_type=jnp.float32))
+        acc_d = (acc_d + prev_d * 0.5 * w[:, 0]
+                 + jnp.sum(w_shift * depths, axis=1))
         acc_w = acc_w + jnp.sum(w, axis=1)
         trans = trans * jnp.prod(one_m, axis=1)
         return (colors[:, -1], sigmas[:, -1], depths[:, -1], trans,

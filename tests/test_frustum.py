@@ -230,3 +230,34 @@ def test_frustum_render_vs_parity_renderer():
     # weights (alpha accumulation) should agree closely too
     w_err = np.abs(np.asarray(got_w) - np.asarray(ref_w)).mean()
     assert w_err < 0.05, w_err
+
+
+@pytest.mark.parametrize("yaw,pitch", [(np.pi / 2, np.pi / 2),
+                                       (np.pi / 2 + 0.6, np.pi / 2 - 0.4)])
+def test_windowed_slab_resample_matches_full(yaw, pitch):
+    """The windowed contraction (serving default at nrr<=128, chunk<=T/12)
+    is mathematically identical to the full-ext contraction: the window
+    covers every nonzero hat tap at production geometry (S=256, nrr=128,
+    seg2cat depth range), including the orbit extremes."""
+    S, nrr, T, chunk, C = 256, 128, 96, 8, 1
+    key = jax.random.PRNGKey(5)
+    planes = jax.random.normal(key, (1, 3, S, S, C), jnp.float32)
+
+    def decoder(feats, dirs):
+        return {"rgb": feats[..., :1].reshape(feats.shape[0], -1, 1),
+                "sigma": feats.reshape(feats.shape[0], -1, C).sum(-1,
+                                                                  keepdims=True)}
+
+    opts = {"ray_start": 2.25, "ray_end": 3.3, "box_warp": BW,
+            "depth_resolution": 48, "depth_resolution_importance": 48,
+            "white_back": False}
+    c2w, intr = _camera(yaw, pitch)
+    full = frustum.frustum_render(planes, decoder, c2w, intr, opts, nrr,
+                                  depth_steps=T, chunk=chunk,
+                                  window=(S + 256, S + 256))
+    win = frustum.frustum_render(planes, decoder, c2w, intr, opts, nrr,
+                                 depth_steps=T, chunk=chunk,
+                                 window=(256, 384))
+    for a, b in zip(full, win):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
