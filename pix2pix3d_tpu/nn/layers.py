@@ -68,9 +68,10 @@ class FullyConnected:
             b = b.astype(x.dtype)
             if self.bias_gain != 1:
                 b = b * jnp.asarray(self.bias_gain, x.dtype)
-        from ..ops.precision import conv_precision
+        from ..ops.precision import acc_type, conv_precision
         precision = conv_precision(x.dtype)
-        y = jnp.dot(x, w, precision=precision, preferred_element_type=jnp.float32)
+        y = jnp.dot(x, w, precision=precision,
+                    preferred_element_type=acc_type(x.dtype))
         y = y.astype(x.dtype)
         return bias_act(y, b, dim=-1, act=self.activation)
 
@@ -143,6 +144,7 @@ class EqualConv2d:
         return params
 
     def __call__(self, params, x):
+        from ..ops.precision import acc_type
         w = (params["weight"] * self.scale).astype(x.dtype)
         precision = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
                      else jax.lax.Precision.DEFAULT)
@@ -150,7 +152,7 @@ class EqualConv2d:
             x, w, window_strides=(self.stride, self.stride),
             padding=((self.padding, self.padding), (self.padding, self.padding)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32, precision=precision,
+            preferred_element_type=acc_type(x.dtype), precision=precision,
         ).astype(x.dtype)
         if self.use_bias:
             out = out + params["bias"].astype(x.dtype)

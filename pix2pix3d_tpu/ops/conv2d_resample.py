@@ -27,7 +27,7 @@ def _conv2d(x, w, stride=1, padding=((0, 0), (0, 0)), groups=1, flip_weight=True
     Precision: float32 inputs run at HIGHEST (full f32 MXU passes) so results
     match the reference bit-for-bit-ish; bf16 inputs use the fast MXU path.
     """
-    from .precision import conv_precision
+    from .precision import acc_type, conv_precision
 
     if not flip_weight and (w.shape[0] > 1 or w.shape[1] > 1):
         w = jnp.flip(w, axis=(0, 1))
@@ -39,7 +39,7 @@ def _conv2d(x, w, stride=1, padding=((0, 0), (0, 0)), groups=1, flip_weight=True
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc_type(x.dtype),
         precision=precision,
     )
     return out.astype(x.dtype)

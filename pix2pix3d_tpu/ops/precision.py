@@ -24,3 +24,17 @@ def conv_precision(dtype):
     if dtype == jax.numpy.float32 and not _FAST_F32:
         return jax.lax.Precision.HIGHEST
     return jax.lax.Precision.DEFAULT
+
+
+def acc_type(dtype):
+    """`preferred_element_type` for a conv/dot with inputs of `dtype`.
+
+    f32 inputs accumulate (and emit) f32.  bf16 inputs must emit bf16
+    (None): requesting an f32 output from bf16 operands makes the primitive
+    non-transposable under jax.grad (the f32 cotangent cannot pair with the
+    bf16 operands: "conv_general_dilated requires arguments to have the
+    same dtypes").  The MXU accumulates bf16 products in f32 internally
+    either way; only the stored output dtype changes — the same numerics
+    class as the reference's fp16 blocks (fp16 out, fp32 accumulate).
+    """
+    return jax.numpy.float32 if dtype == jax.numpy.float32 else None

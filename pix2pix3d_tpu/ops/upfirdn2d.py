@@ -118,7 +118,8 @@ def _depthwise_upfirdn(x, f, up, down, padding):
         rhs_dilation=(1, 1),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=(jnp.float32 if in_dtype == jnp.float32
+                                else None),
         precision=jax.lax.Precision.HIGHEST,
     )
     return out.astype(in_dtype)

@@ -40,8 +40,9 @@ def scene_params(rng, max_objs=4):
     objs = []
     classes = rng.choice(np.arange(1, N_CLASSES), size=n_obj, replace=False)
     for k in range(n_obj):
-        center = rng.uniform(-0.28, 0.28, size=3)
-        radii = rng.uniform(0.10, 0.26, size=3)
+        # keep every object inside the tri-plane box (box_warp=1 -> +-0.5)
+        center = rng.uniform(-0.24, 0.24, size=3)
+        radii = rng.uniform(0.10, 0.22, size=3)
         shade = rng.uniform(0.7, 1.3)
         objs.append((center, radii, int(classes[k]), shade))
     bg_phase = rng.uniform(0, 2 * np.pi)

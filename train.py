@@ -103,6 +103,15 @@ def main():
     p.add_argument("-n", "--dry-run", dest="dry_run", action="store_true")
     args = p.parse_args()
 
+    # Persistent compilation cache: the multi-phase train step is a huge
+    # XLA program (15-19 min cold on the CPU mesh); repeated CLI runs with
+    # the same config must hit the cache (same setup as tests/conftest.py
+    # and __graft_entry__.py).
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_test_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
     if args.num_nodes > 1:
         from pix2pix3d_tpu.parallel.multihost import initialize_multihost
         initialize_multihost(coordinator_address=args.coordinator,
