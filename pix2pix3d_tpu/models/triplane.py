@@ -139,13 +139,26 @@ class OSGDecoderSemanticLateSeparate:
         self.net = _MLP2(n_features, self.hidden_dim, out, lr)
         self.net_semantic = _MLP2(n_features, self.hidden_dim, out, lr)
         self.semantic_sigmoid = options["sigmoid"]
+        self.lr_mul = lr
 
     def init(self, key):
         k0, k1 = jax.random.split(key)
         return {"net": self.net.init(k0), "net_semantic": self.net_semantic.init(k1)}
 
-    def __call__(self, params, sampled_features, ray_directions):
+    def __call__(self, params, sampled_features, ray_directions, impl="ref"):
         x = jnp.mean(sampled_features, axis=1)  # [N, M, C]
+        if impl == "pallas":
+            # fused TPU kernel (ops/decoder_pallas.py): both MLPs + epilogue
+            # in one VMEM-resident pass; bit-matching math, serving-only
+            from ..ops.decoder_pallas import (fuse_late_separate_params,
+                                              late_separate_decode)
+            n, m, c = x.shape
+            w1, b1, w2, b2 = fuse_late_separate_params(params, self.lr_mul)
+            colors, sigma = late_separate_decode(
+                x.reshape(n * m, c), w1, b1, w2, b2, rgb_sigmoid=True,
+                sem_sigmoid=self.semantic_sigmoid, compute_dtype=x.dtype)
+            return {"rgb": colors.reshape(n, m, -1),
+                    "sigma": sigma.reshape(n, m, 1)}
         rgb = self.net(params["net"], x)
         semantic = self.net_semantic(params["net_semantic"], x)
         sigma = semantic[..., 0:1]
@@ -210,6 +223,9 @@ class _TriPlaneBase:
             # z-depth slabs resampled with banded MXU matmuls; documented
             # approximation of the two-pass importance renderer
             from ..render.frustum import frustum_render
+            if self.rendering_kwargs.get("decoder_impl") == "pallas":
+                decoder = lambda f, d: self.decoder(params["decoder"], f, d,
+                                                    impl="pallas")
             feature_samples, depth_samples, weights_samples = frustum_render(
                 planes, decoder, cam2world, intrinsics, self.rendering_kwargs,
                 neural_rendering_resolution,

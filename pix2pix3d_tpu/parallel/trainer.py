@@ -323,7 +323,18 @@ class Trainer:
             in_specs=in_specs,
             out_specs=(rep, rep),
             check_vma=False)
-        jitted = jax.jit(sharded)
+        # KNOWN ISSUE (environment): at per-device batch 4 the XLA:TPU
+        # space-to-batch converter pass crashes the compiler (SIGABRT,
+        # "expected compatible shape ... f32 vs pred" in
+        # space_to_batch_converter.cc).  xla_tpu_run_space_to_batch=false
+        # would disable the pass but is a libtpu absl flag that the remote
+        # compile helper does not forward.  Per-device batch >= 8 does not
+        # trigger the pass; use --remat to fit the larger batch.
+        #
+        # `state` is donated: params + optimizer states + EMA are updated
+        # in place instead of double-buffered (saves the full state size in
+        # HBM per step; callers all rebind `state` from the return).
+        jitted = jax.jit(sharded, donate_argnums=(0,))
         self._step_cache[key] = jitted
         return jitted
 

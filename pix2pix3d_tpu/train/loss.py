@@ -91,7 +91,7 @@ class Pix2Pix3DLoss:
                  lambda_D_semantic=1.0, seg_weight=0, edge_weight=2.0,
                  only_raw_recons=False, silhouette_loss=False,
                  lambda_cross_view=0.0, style_mixing_prob=0.0,
-                 raw_fade_kimg=None):
+                 raw_fade_kimg=None, remat=False):
         self.G = G
         self.D = D
         self.D_semantic = D_semantic
@@ -126,6 +126,13 @@ class Pix2Pix3DLoss:
         # is silently inert there.  We match that behavior but refuse to be
         # silent about it.
         self.style_mixing_prob = style_mixing_prob
+        if remat:
+            # rematerialize the G forward in the backward pass: the
+            # renderer/SR activations dominate train-step HBM (the
+            # reference leans on low nrr + fp16 for the same reason); remat
+            # trades one extra forward for fitting bigger batches.
+            # Opt-in (--remat) so cached step programs stay byte-identical.
+            self.run_G = jax.checkpoint(self.run_G, static_argnums=(4,))
         if style_mixing_prob:
             import warnings
             warnings.warn(

@@ -75,8 +75,10 @@ def test_full_train_step():
     state = trainer.init_state(jax.random.PRNGKey(0))
     batch, gen_z, gen_c = make_batch()
 
-    g_before = state["G"]["backbone"]["synthesis"]["b4"]["conv1"]["weight"]
-    d_before = state["D"]["b4"]["conv"]["weight"]
+    # materialize BEFORE the step: `state` is donated by the jitted step,
+    # so device references into the old state are invalidated
+    g_before = np.asarray(state["G"]["backbone"]["synthesis"]["b4"]["conv1"]["weight"])
+    d_before = np.asarray(state["D"]["b4"]["conv"]["weight"])
 
     # step 0 triggers all reg phases (0 % interval == 0)
     state, stats = trainer.step(state, batch, gen_z, gen_c,

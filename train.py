@@ -92,6 +92,9 @@ def main():
     p.add_argument("--geometry_layer", type=int, default=7)
     p.add_argument("--lambda_cross_view", type=float, default=0)
     p.add_argument("--lpips_weights", type=str, default=None)
+    p.add_argument("--remat", type=parse_bool, default=False,
+                   help="rematerialize the G forward in backward "
+                        "(fits bigger batches; one extra G forward)")
     # Multi-host (DCN x ICI) scale-out: one process per host; replaces the
     # reference's process-per-GPU spawn (ref train.py:33-113).  Leave at
     # defaults for single-host runs; on TPU pods with standard env all
@@ -162,6 +165,7 @@ def main():
         only_raw_recons=args.only_raw_recons,
         silhouette_loss=args.silhouette_loss,
         lambda_cross_view=args.lambda_cross_view,
+        remat=args.remat,
     )
     d_kwargs = dict(channel_base=args.cbase, channel_max=args.cmax,
                     num_fp16_res=args.d_num_fp16_res,
