@@ -34,6 +34,8 @@ ITERS = 8
 def main():
     sampler = "gather" if "--sampler" in sys.argv and \
         sys.argv[sys.argv.index("--sampler") + 1] == "gather" else "frustum"
+    decoder_impl = "ref" if "--decoder" in sys.argv and \
+        sys.argv[sys.argv.index("--decoder") + 1] == "ref" else "pallas"
     import jax
     import jax.numpy as jnp
     from pix2pix3d_tpu import config as cfg_mod
@@ -51,6 +53,8 @@ def main():
         G.rendering_kwargs["sampler"] = "frustum"
         G.rendering_kwargs["frustum_depth_steps"] = 96
         G.rendering_kwargs["frustum_chunk"] = 8
+        if decoder_impl == "pallas":
+            G.rendering_kwargs["decoder_impl"] = "pallas"
     params = G.init(jax.random.PRNGKey(0))
 
     rng = np.random.RandomState(0)
