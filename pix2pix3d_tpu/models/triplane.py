@@ -223,9 +223,20 @@ class _TriPlaneBase:
             # z-depth slabs resampled with banded MXU matmuls; documented
             # approximation of the two-pass importance renderer
             from ..render.frustum import frustum_render
+            fused_decoder = None
             if self.rendering_kwargs.get("decoder_impl") == "pallas":
-                decoder = lambda f, d: self.decoder(params["decoder"], f, d,
-                                                    impl="pallas")
+                if isinstance(self.decoder, OSGDecoderSemanticLateSeparate):
+                    # fully fused decode+composite (ops/render_pallas.py):
+                    # colors/sigma never round-trip HBM
+                    from ..ops.render_pallas import (
+                        fuse_late_separate_params_t)
+                    fused_decoder = (
+                        *fuse_late_separate_params_t(params["decoder"],
+                                                     self.decoder.lr_mul),
+                        True, self.decoder.semantic_sigmoid)
+                else:
+                    decoder = lambda f, d: self.decoder(
+                        params["decoder"], f, d, impl="pallas")
             feature_samples, depth_samples, weights_samples = frustum_render(
                 planes, decoder, cam2world, intrinsics, self.rendering_kwargs,
                 neural_rendering_resolution,
@@ -234,7 +245,8 @@ class _TriPlaneBase:
                 window=self.rendering_kwargs.get("frustum_window"),
                 compute_dtype=jnp.bfloat16
                 if self.rendering_kwargs.get("frustum_bf16", True)
-                else jnp.float32)
+                else jnp.float32,
+                fused_decoder=fused_decoder)
         else:
             feature_samples, depth_samples, weights_samples = self.renderer(
                 planes, decoder, ray_origins, ray_directions,

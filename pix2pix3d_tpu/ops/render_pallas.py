@@ -1,0 +1,196 @@
+"""Fused decode+composite Pallas kernel for the frustum renderer (serving).
+
+Fuses the lateSeparate decoder MLPs (`models/triplane.py`, ref
+`triplane_cond.py:926-970`) WITH the front-to-back midpoint compositing of
+`render/frustum.py` into one kernel, so per-sample colors and densities
+never round-trip HBM.  Per depth-slab grid step the kernel decodes one
+ray-tile and folds it straight into the running composite carried in VMEM
+scratch.
+
+Layout: everything is TRANSPOSED vs the standalone decoder kernel —
+channels on sublanes, rays on lanes:
+
+    feats  [CH, N, TC, 32, R]   (chunk-major, as the slab scan emits)
+    h      [128, RT] = softplus(W1^T [128,32] @ x [32,RT] + b1)
+    o      [128, RT] = W2^T @ h + b2
+    colors [64, RT], sigma [1, RT]
+
+Two wins vs the row-major decoder kernel: (1) the per-sample scalar chain
+(softplus/alpha/transmittance/weights) runs on [1, RT] vregs at full lane
+utilization instead of wasting 127/128 lanes on [RT, 1] columns; (2) the
+channels-first feats layout has NO lane padding in HBM ([.., 32, R] with
+R a lane multiple), cutting the staging traffic 4x vs [.., R, 32].
+
+The composite recurrence matches `frustum.composite_step` exactly (same
+midpoint quadrature, same 1e-10 transmittance epsilon, ref
+`ray_marcher.py:26-42` semantics); for t >= 1:
+
+    delta   = d_t - d_{t-1}
+    sig_mid = softplus((s_{t-1} + s_t)/2 - 1)
+    alpha   = 1 - exp(-sig_mid * delta)
+    w       = alpha * trans
+    acc_c  += w/2 * (c_{t-1} + c_t);  acc_d += w/2 * (d_{t-1} + d_t)
+    acc_w  += w;  trans *= 1 - alpha + 1e-10
+
+Serving-only (no VJP); the gather/parity renderer trains the decoder.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def fuse_late_separate_params_t(params, lr_mul):
+    """Transposed fused decoder params (W1^T [128,32], b1 [128,1],
+    W2^T [128,128], b2 [128,1]) for the lanes=rays kernel layout."""
+    from .decoder_pallas import fuse_late_separate_params
+    w1, b1, w2, b2 = fuse_late_separate_params(params, lr_mul)
+    return w1.T, b1.reshape(-1, 1), w2.T, b2.reshape(-1, 1)
+
+
+def _make_kernel(T, TC, rgb_sigmoid, sem_sigmoid, compute_dtype):
+    prec = (jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+    def kernel(t_vals_ref, feats_ref, dnorm_ref, w1t_ref, b1_ref, w2t_ref,
+               b2_ref, rgb_out, d_out, w_out,
+               prev_c, prev_s, prev_d, trans, acc_c, acc_d, acc_w):
+        n = pl.program_id(0)
+        ch = pl.program_id(2)
+        tc = pl.program_id(3)
+        t_idx = ch * TC + tc
+
+        # ---- decode one (depth slab, ray tile): [32, RT] -> [128, RT]
+        x = feats_ref[0, 0, 0]
+        h = jnp.dot(w1t_ref[:], x, preferred_element_type=jnp.float32,
+                    precision=prec)
+        h = jax.nn.softplus(h + b1_ref[:])
+        o = jnp.dot(w2t_ref[:], h.astype(x.dtype),
+                    preferred_element_type=jnp.float32,
+                    precision=prec) + b2_ref[:]
+        row = jax.lax.broadcasted_iota(jnp.int32, o.shape, 0)
+        if rgb_sigmoid or sem_sigmoid:
+            clamped = jax.nn.sigmoid(o) * (1 + 2 * 0.001) - 0.001
+            if rgb_sigmoid and sem_sigmoid:
+                use = row < 64
+            elif rgb_sigmoid:
+                use = row < 32
+            else:
+                use = (row >= 32) & (row < 64)
+            act = jnp.where(use, clamped, o)
+        else:
+            act = o
+        c = act[:64].astype(compute_dtype)                   # [64, RT]
+        s = o[64:65]                                         # [1, RT] f32
+        d = t_vals_ref[n, t_idx] * dnorm_ref[:]              # [1, RT] f32
+
+        # ---- composite into the VMEM carry
+        @pl.when(t_idx == 0)
+        def _():
+            prev_c[:] = c
+            prev_s[:] = s
+            prev_d[:] = d
+            trans[:] = jnp.ones_like(trans)
+            acc_c[:] = jnp.zeros_like(acc_c)
+            acc_d[:] = jnp.zeros_like(acc_d)
+            acc_w[:] = jnp.zeros_like(acc_w)
+
+        @pl.when(t_idx > 0)
+        def _():
+            delta = d - prev_d[:]
+            sig_mid = jax.nn.softplus((prev_s[:] + s) * 0.5 - 1.0)
+            alpha = 1.0 - jnp.exp(-sig_mid * delta)
+            w = alpha * trans[:]
+            half_w = 0.5 * w
+            acc_c[:] = acc_c[:] + half_w * (prev_c[:].astype(jnp.float32)
+                                            + c.astype(jnp.float32))
+            acc_d[:] = acc_d[:] + half_w * (prev_d[:] + d)
+            acc_w[:] = acc_w[:] + w
+            trans[:] = trans[:] * (1.0 - alpha + 1e-10)
+            prev_c[:] = c
+            prev_s[:] = s
+            prev_d[:] = d
+
+        @pl.when(t_idx == T - 1)
+        def _():
+            rgb_out[0] = acc_c[:]
+            d_out[:] = acc_d[:]
+            w_out[:] = acc_w[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("rgb_sigmoid", "sem_sigmoid",
+                                             "ray_tile", "compute_dtype",
+                                             "interpret"))
+def fused_decode_composite(feats, t_vals, dnorm, w1t, b1, w2t, b2,
+                           rgb_sigmoid=True, sem_sigmoid=False,
+                           ray_tile=4096, compute_dtype=jnp.bfloat16,
+                           interpret=False):
+    """feats [CH, N, TC, 32, R] (chunk-major slab features, channels first),
+    t_vals [N, CH*TC] f32 z-depths, dnorm [N, R] f32 direction norms.
+
+    Returns (acc_rgb [N, 64, R] f32, acc_d [N, R] f32, acc_w [N, R] f32) —
+    the unnormalized composite; depth normalization / white_back / range
+    mapping stay in the caller (`frustum_render`)."""
+    CH, N, TC, C, R = feats.shape
+    T = CH * TC
+    assert C == 32 and t_vals.shape == (N, T) and dnorm.shape == (N, R)
+    RT = min(ray_tile, R)
+    assert R % RT == 0, (R, RT)
+    J = R // RT
+
+    kernel = _make_kernel(T, TC, bool(rgb_sigmoid), bool(sem_sigmoid),
+                          compute_dtype)
+    grid = (N, J, CH, TC)
+
+    rgb, acc_d, acc_w = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, C, RT),
+                             lambda n, j, ch, tc, *_: (ch, n, tc, 0, j)),
+                pl.BlockSpec((1, RT), lambda n, j, ch, tc, *_: (n, j)),
+                pl.BlockSpec((128, C), lambda n, j, ch, tc, *_: (0, 0)),
+                pl.BlockSpec((128, 1), lambda n, j, ch, tc, *_: (0, 0)),
+                pl.BlockSpec((128, 128), lambda n, j, ch, tc, *_: (0, 0)),
+                pl.BlockSpec((128, 1), lambda n, j, ch, tc, *_: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 64, RT), lambda n, j, ch, tc, *_: (n, 0, j)),
+                pl.BlockSpec((1, RT), lambda n, j, ch, tc, *_: (n, j)),
+                pl.BlockSpec((1, RT), lambda n, j, ch, tc, *_: (n, j)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((64, RT), compute_dtype),   # prev_c
+                pltpu.VMEM((1, RT), jnp.float32),      # prev_s
+                pltpu.VMEM((1, RT), jnp.float32),      # prev_d
+                pltpu.VMEM((1, RT), jnp.float32),      # trans
+                pltpu.VMEM((64, RT), jnp.float32),     # acc_c
+                pltpu.VMEM((1, RT), jnp.float32),      # acc_d
+                pltpu.VMEM((1, RT), jnp.float32),      # acc_w
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((N, 64, R), jnp.float32),
+            jax.ShapeDtypeStruct((N, R), jnp.float32),
+            jax.ShapeDtypeStruct((N, R), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * T * R * (32 * 128 + 128 * 128),
+            bytes_accessed=feats.size * feats.dtype.itemsize
+            + N * R * (64 + 2) * 4,
+            transcendentals=N * T * R * 130,
+        ),
+        interpret=interpret,
+    )(t_vals, feats.astype(compute_dtype), dnorm,
+      w1t.astype(compute_dtype), b1.astype(jnp.float32),
+      w2t.astype(compute_dtype), b2.astype(jnp.float32))
+    return rgb, acc_d, acc_w

@@ -185,7 +185,7 @@ def shear_texture(tex, a, b, compute_dtype=jnp.float32):
 
 
 def slab_resample(t2, t_vals, d1, d2, F0, F1, nrr, compute_dtype=jnp.float32,
-                  win=None):
+                  win=None, channels_first=False):
     """Per-slab axis-aligned scale+translate on the sheared texture.
 
     t2 [ext, ext, C]; t_vals [T].  Returns [T, nrr, nrr, C]:
@@ -225,6 +225,12 @@ def slab_resample(t2, t_vals, d1, d2, F0, F1, nrr, compute_dtype=jnp.float32,
     Wx = _band_weights(cx, ext_x, dtype=compute_dtype)
     v = jnp.einsum("tiy,yxc->tixc", Wy, t2.astype(compute_dtype),
                    preferred_element_type=jnp.float32)          # [T, nrr, wx, C]
+    if channels_first:
+        # [T, C, nrr, nrr] for the fused decode+composite kernel: the
+        # [.., C, R] staging layout has no lane padding in HBM (R is a
+        # lane multiple, C=32 is not)
+        return jnp.einsum("tjx,tixc->tcij", Wx, v.astype(compute_dtype),
+                          preferred_element_type=jnp.float32)
     return jnp.einsum("tjx,tixc->tijc", Wx, v.astype(compute_dtype),
                       preferred_element_type=jnp.float32)       # [T, nrr, nrr, C]
 
@@ -261,7 +267,7 @@ def prepare_textures(planes, coeffs, compute_dtype=jnp.float32):
 
 
 def sample_slabs_prepared(prep, t_vals, nrr, compute_dtype=jnp.float32,
-                          win=None):
+                          win=None, channels_first=False):
     """[N, T, nrr, nrr, C] mean-over-planes features for depth values
     t_vals [N, T] (per image).  Result dtype is compute_dtype (f32
     accumulation happens inside).
@@ -282,7 +288,7 @@ def sample_slabs_prepared(prep, t_vals, nrr, compute_dtype=jnp.float32,
         for qi in range(q):
             acc = acc + slab_resample(texs[qi], t, d1s[qi], d2s[qi],
                                       F0s[qi], F1s[qi], nrr, compute_dtype,
-                                      win=win)
+                                      win=win, channels_first=channels_first)
         return (acc / q).astype(compute_dtype)
 
     return jax.lax.map(one, (prep["tex"].reshape(n, q, *sh), t_vals,
@@ -294,13 +300,18 @@ def sample_slabs_prepared(prep, t_vals, nrr, compute_dtype=jnp.float32,
 
 def frustum_render(planes, decoder, cam2world, intrinsics, rendering_options,
                    nrr, depth_steps=None, chunk=None, window=None,
-                   compute_dtype=jnp.float32):
+                   compute_dtype=jnp.float32, fused_decoder=None):
     """Full gather-free render: (features [N,R,C], depth [N,R,1],
     weights [N,R,1]) — same contract as ImportanceRenderer.__call__.
 
     decoder(feats [N, 3, M, C] or [N, 1, M, C]-broadcastable, dirs) must
     accept pre-meaned features; we pass [N, 1, M, C] (the reference decoder
-    means over the plane axis, so a singleton is equivalent)."""
+    means over the plane axis, so a singleton is equivalent).
+
+    fused_decoder: optional transposed lateSeparate decoder params
+    (w1t, b1, w2t, b2, rgb_sigmoid, sem_sigmoid) — when given, decode AND
+    composite run in one Pallas kernel (`ops/render_pallas.py`) and
+    `decoder` is unused."""
     opts = rendering_options
     assert opts["ray_start"] != "auto", \
         "frustum sampler needs static ray_start/ray_end"
@@ -346,6 +357,26 @@ def frustum_render(planes, decoder, cam2world, intrinsics, rendering_options,
     t_vals = t_lo[:, None] + steps[None, :] * (t_hi - t_lo)[:, None]  # [N, T]
 
     r = nrr * nrr
+
+    if fused_decoder is not None:
+        from ..ops.render_pallas import fused_decode_composite
+        ch_n = T // chunk
+        chunk_ts = t_vals.reshape(n, ch_n, chunk).transpose(1, 0, 2)
+
+        def one_chunk(t_chunk):
+            # [N, TC, C, nrr, nrr] channels-first slab features
+            f = sample_slabs_prepared(prep, t_chunk, nrr, compute_dtype,
+                                      win=window, channels_first=True)
+            return f.reshape(n, chunk, -1, r)
+
+        feats = jax.lax.map(one_chunk, chunk_ts)       # [CH, N, TC, C, r]
+        w1t, b1, w2t, b2, rgb_sig, sem_sig = fused_decoder
+        acc_rgb_t, acc_d, acc_w = fused_decode_composite(
+            feats, t_vals, dnorm, w1t, b1, w2t, b2, rgb_sigmoid=rgb_sig,
+            sem_sigmoid=sem_sig, compute_dtype=compute_dtype,
+            interpret=jax.default_backend() == "cpu")
+        acc_rgb = acc_rgb_t.transpose(0, 2, 1)         # [N, r, 64]
+        return _finalize(acc_rgb, acc_d, acc_w, t_vals, dnorm, opts)
 
     def decode_chunk(t_chunk):
         feats = sample_slabs_prepared(prep, t_chunk, nrr, compute_dtype,
@@ -426,6 +457,10 @@ def frustum_render(planes, decoder, cam2world, intrinsics, rendering_options,
         carry, _ = jax.lax.scan(scan_body, carry, rest)
 
     _, _, _, trans, acc_rgb, acc_d, acc_w = carry
+    return _finalize(acc_rgb, acc_d, acc_w, t_vals, dnorm, opts)
+
+
+def _finalize(acc_rgb, acc_d, acc_w, t_vals, dnorm, opts):
     depth = acc_d / jnp.maximum(acc_w, 1e-10)
     depth = jnp.clip(jnp.nan_to_num(depth, nan=jnp.inf),
                      jnp.min(t_vals * jnp.min(dnorm)),

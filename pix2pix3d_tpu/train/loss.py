@@ -133,6 +133,11 @@ class Pix2Pix3DLoss:
             # trades one extra forward for fitting bigger batches.
             # Opt-in (--remat) so cached step programs stay byte-identical.
             self.run_G = jax.checkpoint(self.run_G, static_argnums=(4,))
+            # ... and the D/D_semantic applications: their conv residuals
+            # (kept twice by the R1 double grad) are the next-largest
+            # train-step HBM block after the G forward
+            self._apply_D = jax.checkpoint(self._apply_D)
+            self._apply_D_semantic = jax.checkpoint(self._apply_D_semantic)
         if style_mixing_prob:
             import warnings
             warnings.warn(
@@ -205,14 +210,21 @@ class Pix2Pix3DLoss:
         return pair[..., :c], resize_bilinear(pair[..., c:], raw_res,
                                               antialias=True)
 
+    def _apply_D(self, params_d, img, c, rng, raw_fade):
+        return self.D(params_d, img, c, rng=rng, raw_fade=raw_fade)
+
+    def _apply_D_semantic(self, params_dsem, img, c, rng, raw_fade):
+        return self.D_semantic(params_dsem, img, c, rng=rng,
+                               raw_fade=raw_fade)
+
     def run_D(self, params_d, img, c, blur_sigma, rng=None, aug=None,
               raw_fade=None):
         image = self._blur(img["image"], blur_sigma)
         image_raw = img["image_raw"]
         if self.augment_pipe is not None and aug is not None:
             image, image_raw = self._augment_pair(image, image_raw, *aug)
-        return self.D(params_d, {"image": image, "image_raw": image_raw},
-                      c, rng=rng, raw_fade=raw_fade)
+        return self._apply_D(params_d, {"image": image, "image_raw": image_raw},
+                             c, rng, raw_fade)
 
     def run_D_semantic(self, params_dsem, img, c, blur_sigma, rng=None,
                        aug=None, raw_fade=None):
@@ -220,9 +232,9 @@ class Pix2Pix3DLoss:
         image_raw = img["image_raw"]
         if self.augment_pipe is not None and aug is not None:
             image, image_raw = self._augment_pair(image, image_raw, *aug)
-        return self.D_semantic(params_dsem,
-                               {"image": image, "image_raw": image_raw},
-                               c, rng=rng, raw_fade=raw_fade)
+        return self._apply_D_semantic(
+            params_dsem, {"image": image, "image_raw": image_raw},
+            c, rng, raw_fade)
 
     def _semantic_concat(self, gen_img, detach_rgb):
         """[image | semantic] concat for D_semantic (ref :568-593).

@@ -1,0 +1,103 @@
+"""Fused decode+composite kernel (ops/render_pallas.py) vs the unfused
+frustum composite path — identical math, so f32 agreement must be tight.
+
+Runs through the Pallas interpreter on CPU; TPU-side timing/validation is
+scripts/profile_fused_render.py.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pix2pix3d_tpu.render import frustum
+from pix2pix3d_tpu.render.camera import LookAtPoseSampler, fov_to_intrinsics
+
+BW = 1.0
+
+
+def _camera(yaw, pitch, batch=1):
+    c2w = LookAtPoseSampler.sample(None, yaw, pitch, [0.0, 0.0, -0.06],
+                                   radius=2.7, batch_size=batch)
+    intr = jnp.tile(fov_to_intrinsics(18.837)[None], (batch, 1, 1))
+    return c2w, intr
+
+
+def _smooth_planes(key, s, c, n=1):
+    base = jax.random.normal(key, (n, 3, s // 8, s // 8, c))
+    return jax.image.resize(base, (n, 3, s, s, c), "bicubic")
+
+
+@pytest.mark.parametrize("sem_sigmoid", [False, True])
+def test_fused_composite_matches_unfused(sem_sigmoid):
+    from pix2pix3d_tpu.models.triplane import OSGDecoderSemanticLateSeparate
+    from pix2pix3d_tpu.ops.render_pallas import fuse_late_separate_params_t
+
+    key = jax.random.PRNGKey(0)
+    planes = _smooth_planes(key, s=64, c=32, n=2)
+    dec = OSGDecoderSemanticLateSeparate(
+        32, {"decoder_output_dim": 32, "decoder_lr_mul": 1.0,
+             "sigmoid": sem_sigmoid})
+    dp = dec.init(jax.random.PRNGKey(1))
+    decoder = lambda f, d: dec(dp, f, d)
+
+    opts = {"ray_start": 2.25, "ray_end": 3.3, "box_warp": BW,
+            "depth_resolution": 24, "depth_resolution_importance": 24,
+            "disparity_space_sampling": False, "clamp_mode": "softplus",
+            "white_back": False}
+    c2w, intr = _camera(np.pi / 2 + 0.2, np.pi / 2 - 0.1, batch=2)
+    nrr = 16
+
+    ref_f, ref_d, ref_w = frustum.frustum_render(
+        planes, decoder, c2w, intr, opts, nrr, depth_steps=48, chunk=8)
+
+    fused = (*fuse_late_separate_params_t(dp, 1.0), True, sem_sigmoid)
+    got_f, got_d, got_w = frustum.frustum_render(
+        planes, None, c2w, intr, opts, nrr, depth_steps=48, chunk=8,
+        fused_decoder=fused)
+
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(ref_f),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(ref_d),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_w), np.asarray(ref_w),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_generator_fused_frustum_path():
+    """decoder_impl='pallas' end-to-end through the generator on CPU
+    (interpreter): must match the plain frustum path closely."""
+    from pix2pix3d_tpu import config as cfg_mod
+    from pix2pix3d_tpu.models import build_generator
+    from pix2pix3d_tpu.render.camera import pose_to_conditioning
+
+    cfg = cfg_mod.generator_config(
+        cfg="afhq", resolution=128, data_type="seg", semantic_channels=6,
+        cbase=1024, cmax=32, sr_num_fp16_res=0, render_mask=True,
+        gen_pose_cond=True)
+    cfg["mapping_kwargs"]["in_resolution"] = 128
+    cfg["mapping_kwargs"]["encoder_channel_base"] = 1 / 128
+    G = build_generator(**cfg)
+    params = G.init(jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    z = jnp.asarray(rng.randn(1, G.z_dim).astype(np.float32))
+    mask = jnp.asarray(rng.randint(0, 6, (1, 128, 128, 1)).astype(np.float32))
+    c2w, intr = _camera(np.pi / 2 + 0.15, np.pi / 2 - 0.1)
+    pose = pose_to_conditioning(c2w, intr[0])
+    batch = {"mask": mask, "pose": pose}
+
+    G.rendering_kwargs["sampler"] = "frustum"
+    G.rendering_kwargs["frustum_depth_steps"] = 48
+    G.rendering_kwargs["frustum_chunk"] = 16
+    G.rendering_kwargs["frustum_bf16"] = False  # f32 for tight comparison
+    out_plain = G(params, z, pose, batch, neural_rendering_resolution=32,
+                  noise_mode="const", det=True)
+    G.rendering_kwargs["decoder_impl"] = "pallas"
+    out_fused = G(params, z, pose, batch, neural_rendering_resolution=32,
+                  noise_mode="const", det=True)
+
+    for key in ("image_raw", "semantic_raw", "image"):
+        np.testing.assert_allclose(np.asarray(out_fused[key]),
+                                   np.asarray(out_plain[key]),
+                                   rtol=5e-3, atol=5e-3)
