@@ -87,7 +87,7 @@ def _make_kernel(T, TC, rgb_sigmoid, sem_sigmoid, compute_dtype):
             act = o
         c = act[:64].astype(compute_dtype)                   # [64, RT]
         s = o[64:65]                                         # [1, RT] f32
-        d = t_vals_ref[n, t_idx] * dnorm_ref[:]              # [1, RT] f32
+        d = t_vals_ref[n, t_idx] * dnorm_ref[0]              # [1, RT] f32
 
         # ---- composite into the VMEM carry
         @pl.when(t_idx == 0)
@@ -119,8 +119,8 @@ def _make_kernel(T, TC, rgb_sigmoid, sem_sigmoid, compute_dtype):
         @pl.when(t_idx == T - 1)
         def _():
             rgb_out[0] = acc_c[:]
-            d_out[:] = acc_d[:]
-            w_out[:] = acc_w[:]
+            d_out[0] = acc_d[:]
+            w_out[0] = acc_w[:]
 
     return kernel
 
@@ -157,7 +157,9 @@ def fused_decode_composite(feats, t_vals, dnorm, w1t, b1, w2t, b2,
             in_specs=[
                 pl.BlockSpec((1, 1, 1, C, RT),
                              lambda n, j, ch, tc, *_: (ch, n, tc, 0, j)),
-                pl.BlockSpec((1, RT), lambda n, j, ch, tc, *_: (n, j)),
+                # [N, 1, R] with a singleton middle dim: Mosaic requires the
+                # last-two block dims be (8k, 128k) or array-equal
+                pl.BlockSpec((1, 1, RT), lambda n, j, ch, tc, *_: (n, 0, j)),
                 pl.BlockSpec((128, C), lambda n, j, ch, tc, *_: (0, 0)),
                 pl.BlockSpec((128, 1), lambda n, j, ch, tc, *_: (0, 0)),
                 pl.BlockSpec((128, 128), lambda n, j, ch, tc, *_: (0, 0)),
@@ -165,8 +167,8 @@ def fused_decode_composite(feats, t_vals, dnorm, w1t, b1, w2t, b2,
             ],
             out_specs=[
                 pl.BlockSpec((1, 64, RT), lambda n, j, ch, tc, *_: (n, 0, j)),
-                pl.BlockSpec((1, RT), lambda n, j, ch, tc, *_: (n, j)),
-                pl.BlockSpec((1, RT), lambda n, j, ch, tc, *_: (n, j)),
+                pl.BlockSpec((1, 1, RT), lambda n, j, ch, tc, *_: (n, 0, j)),
+                pl.BlockSpec((1, 1, RT), lambda n, j, ch, tc, *_: (n, 0, j)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((64, RT), compute_dtype),   # prev_c
@@ -180,8 +182,8 @@ def fused_decode_composite(feats, t_vals, dnorm, w1t, b1, w2t, b2,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((N, 64, R), jnp.float32),
-            jax.ShapeDtypeStruct((N, R), jnp.float32),
-            jax.ShapeDtypeStruct((N, R), jnp.float32),
+            jax.ShapeDtypeStruct((N, 1, R), jnp.float32),
+            jax.ShapeDtypeStruct((N, 1, R), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * N * T * R * (32 * 128 + 128 * 128),
@@ -190,7 +192,7 @@ def fused_decode_composite(feats, t_vals, dnorm, w1t, b1, w2t, b2,
             transcendentals=N * T * R * 130,
         ),
         interpret=interpret,
-    )(t_vals, feats.astype(compute_dtype), dnorm,
+    )(t_vals, feats.astype(compute_dtype), dnorm[:, None, :],
       w1t.astype(compute_dtype), b1.astype(jnp.float32),
       w2t.astype(compute_dtype), b2.astype(jnp.float32))
-    return rgb, acc_d, acc_w
+    return rgb, acc_d[:, 0], acc_w[:, 0]

@@ -92,6 +92,9 @@ def main():
     p.add_argument("--geometry_layer", type=int, default=7)
     p.add_argument("--lambda_cross_view", type=float, default=0)
     p.add_argument("--lpips_weights", type=str, default=None)
+    p.add_argument("--point_chunk", type=int, default=0,
+                   help="renderer field-eval chunk (points); smaller caps "
+                        "train-step HBM, 0 = renderer default")
     p.add_argument("--remat", type=parse_bool, default=False,
                    help="rematerialize the G forward in backward "
                         "(fits bigger batches; one extra G forward)")
@@ -142,6 +145,10 @@ def main():
         density_reg=args.density_reg,
         density_reg_p_dist=args.density_reg_p_dist, reg_type=args.reg_type,
         decoder_lr_mul=args.decoder_lr_mul)
+    if args.point_chunk:
+        # caps the renderer's per-chunk patch-gather temps (bit-identical
+        # output; the [chunk*N*3, 2, 2, C] gather tile pads 16x in HBM)
+        g_config["rendering_kwargs"]["point_chunk"] = args.point_chunk
 
     blur_init = 10 if (args.resume is None or args.resume_blur) else 0
     gpc_fade = args.gpc_reg_fade_kimg if (args.resume is None or args.resume_blur) \
