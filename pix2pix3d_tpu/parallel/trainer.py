@@ -354,6 +354,15 @@ class Trainer:
         beta = _ema_beta(batch_size, cur_nimg, ema_kimg, ema_rampup)
         blur_sigma = sched["blur_sigma"]
         blur_size = int(np.floor(blur_sigma * 3))
+        if blur_size > 0:
+            # quantize the static kernel width UP to a multiple of 8: a
+            # full fade compiles <=4 step programs instead of ~30 (compiles
+            # are minutes each on this toolchain; short fades would
+            # otherwise recompile nearly every step).  σ itself stays
+            # traced/exact; the extra taps carry the true Gaussian weights
+            # beyond the reference's floor(3σ) truncation (|w| < 1e-2 of
+            # peak), a documented sub-1e-2 deviation during the fade only.
+            blur_size = -(-blur_size // 8) * 8
         step_fn = self.make_step(do_greg, do_dreg, do_dreg, blur_size,
                                  sched["neural_rendering_resolution"])
         args = (state, batch, gen_z, gen_c, rng,
