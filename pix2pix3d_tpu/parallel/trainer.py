@@ -61,7 +61,7 @@ class Trainer:
     def __init__(self, loss: Pix2Pix3DLoss, *, g_lr=0.0025, d_lr=0.002,
                  betas=(0.0, 0.99), eps=1e-8, g_reg_interval: Optional[int] = 4,
                  d_reg_interval: Optional[int] = 16, mesh: Optional[Mesh] = None,
-                 axis="data", grad_accum_rounds=1):
+                 axis="data", grad_accum_rounds=1, split_cross_view=True):
         self.loss = loss
         self.G = loss.G
         self.D = loss.D
@@ -78,7 +78,12 @@ class Trainer:
         self.opt_g = _lazy_adam(g_lr, betas, eps, g_reg_interval)
         self.opt_d = _lazy_adam(d_lr, betas, eps, d_reg_interval)
         self.opt_dsem = _lazy_adam(d_lr, betas, eps, d_reg_interval)
+        # run the cross-view stop-grad renders as a SEPARATE program: the
+        # monolithic g_main+cross-view program crashes the v5e TPU worker
+        # (see loss.cross_view_prep); values are identical either way
+        self.split_cross_view = split_cross_view
         self._step_cache = {}
+        self._cv_prep_cache = {}
 
     # ------------------------------------------------------------------ init
     def init_state(self, rng):
@@ -137,7 +142,7 @@ class Trainer:
 
     def _device_step(self, state, batch, gen_z, gen_c, rng, ema_beta,
                      do_greg, do_dreg, do_dsemreg, blur_sigma, nrr,
-                     aug_p=None, blur_size=None, raw_fade=None):
+                     aug_p=None, blur_size=None, raw_fade=None, cv_aux=None):
         """One full training iteration on one device's shard.
 
         `blur_sigma` is traced (a scalar array) when `blur_size` is a
@@ -174,10 +179,11 @@ class Trainer:
 
         # --- Gmain
         def gmain(p, r):
+            cv_kw = {} if cv_aux is None else {"cv_aux": mb(cv_aux, r)}
             return loss.g_main(p, state["D"], dsem, mb(batch, r),
                                mb(gen_z[0], r), mb(gen_c[0], r),
                                jax.random.fold_in(rngs[0], r), blur_sigma, nrr,
-                               aug_p=aug_p, raw_fade=raw_fade)
+                               aug_p=aug_p, raw_fade=raw_fade, **cv_kw)
         state["G"], state["opt_G"], s = self._phase_update(
             gmain, state["G"], self.opt_g, state["opt_G"], 1.0, axis)
         add_stats(s)
@@ -308,14 +314,21 @@ class Trainer:
             dyn_names.append("aug_p")
         else:
             fn = functools.partial(fn, aug_p=None)
+        use_cv_prep = (getattr(self.loss, "lambda_cross_view", 0) > 0
+                       and self.split_cross_view)
         in_specs = (rep, data, phase_data, phase_data, rep, rep) \
+            + ((data,) if use_cv_prep else ()) \
             + (rep,) * len(dyn_names)
 
-        if dyn_names:
-            def ordered(state, batch, gen_z, gen_c, rng, ema_beta, *dyn,
-                        _fn=fn, _names=tuple(dyn_names)):
+        if dyn_names or use_cv_prep:
+            def ordered(state, batch, gen_z, gen_c, rng, ema_beta, *rest,
+                        _fn=fn, _names=tuple(dyn_names), _cv=use_cv_prep):
+                if _cv:
+                    cv_aux, dyn = rest[0], rest[1:]
+                else:
+                    cv_aux, dyn = None, rest
                 return _fn(state, batch, gen_z, gen_c, rng, ema_beta,
-                           **dict(zip(_names, dyn)))
+                           cv_aux=cv_aux, **dict(zip(_names, dyn)))
             fn = ordered
 
         sharded = jax.shard_map(
@@ -336,6 +349,48 @@ class Trainer:
         # HBM per step; callers all rebind `state` from the return).
         jitted = jax.jit(sharded, donate_argnums=(0,))
         self._step_cache[key] = jitted
+        return jitted
+
+    def _cv_prep_device(self, state, batch, gen_z, gen_c, rng, nrr):
+        """Per-device body of the split cross-view prep: EXACTLY the rng
+        derivation and micro-batch slicing of the Gmain phase, so the
+        precomputed stop-grad renders equal the monolithic ones."""
+        axis = self.axis
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        rngs = jax.random.split(rng, 6)
+        rounds = self.grad_accum_rounds
+        mb_size = batch["pose"].shape[0] // rounds
+
+        def mb(tree, r):
+            if rounds <= 1:
+                return tree
+            return jax.tree_util.tree_map(
+                lambda x: jax.lax.dynamic_slice_in_dim(
+                    x, r * mb_size, mb_size, axis=0), tree)
+
+        outs = [self.loss.cross_view_prep(
+            state["G"], mb(gen_z[0], r), mb(batch, r), mb(gen_c[0], r),
+            jax.random.fold_in(rngs[0], r), nrr) for r in range(rounds)]
+        if rounds <= 1:
+            return outs[0]
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+
+    def make_cv_prep(self, nrr):
+        """Jitted shard_map'd cross-view prep program (no donation: the
+        caller passes the same state to the step program right after)."""
+        if nrr in self._cv_prep_cache:
+            return self._cv_prep_cache[nrr]
+        rep = P()
+        data = P(self.axis)
+        phase_data = P(None, self.axis)
+        fn = functools.partial(self._cv_prep_device, nrr=nrr)
+        sharded = jax.shard_map(fn, mesh=self.mesh,
+                                in_specs=(rep, data, phase_data, phase_data,
+                                          rep),
+                                out_specs=data, check_vma=False)
+        jitted = jax.jit(sharded)
+        self._cv_prep_cache[nrr] = jitted
         return jitted
 
     def step(self, state, batch, gen_z, gen_c, rng, *, step_idx, cur_nimg,
@@ -367,6 +422,11 @@ class Trainer:
                                  sched["neural_rendering_resolution"])
         args = (state, batch, gen_z, gen_c, rng,
                 jnp.asarray(beta, jnp.float32))
+        if getattr(self.loss, "lambda_cross_view", 0) > 0 \
+                and self.split_cross_view:
+            cv_aux = self.make_cv_prep(sched["neural_rendering_resolution"])(
+                state, batch, gen_z, gen_c, rng)
+            args = args + (cv_aux,)
         if blur_size > 0:
             args = args + (jnp.asarray(blur_sigma, jnp.float32),)
         if self.loss.raw_fade_kimg:

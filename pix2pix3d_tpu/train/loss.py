@@ -133,11 +133,10 @@ class Pix2Pix3DLoss:
             # trades one extra forward for fitting bigger batches.
             # Opt-in (--remat) so cached step programs stay byte-identical.
             self.run_G = jax.checkpoint(self.run_G, static_argnums=(4,))
-            # ... and the D/D_semantic applications: their conv residuals
-            # (kept twice by the R1 double grad) are the next-largest
-            # train-step HBM block after the G forward
-            self._apply_D = jax.checkpoint(self._apply_D)
-            self._apply_D_semantic = jax.checkpoint(self._apply_D_semantic)
+            # NB: checkpointing the D applications as well was measured to
+            # INCREASE peak HBM by ~1.6 G at batch 8 (the rematted forward
+            # inside the R1 double grad duplicates conv temps instead of
+            # freeing them) — G-forward remat only.
         if style_mixing_prob:
             import warnings
             warnings.warn(
@@ -267,8 +266,32 @@ class Pix2Pix3DLoss:
         return (jax.random.uniform(rng) < self.random_c_prob).astype(jnp.float32)
 
     # --------------------------------------------------------------- phases
+    def cross_view_prep(self, params_g, gen_z, batch, gen_c, rng, nrr):
+        """The two stop-gradient renders of the cross-view term, as a
+        SEPARATE program (same values as the monolithic path: identical rng
+        derivation as `g_main`'s r_cv1/r_cv3).
+
+        Motivation (measured, v5e): the full g_main+cross-view program
+        crashes the TPU worker while every sub-program runs fine — see
+        README "Known environment issue".  Splitting the no-grad renders
+        out shrinks the differentiated program to a passing size and is
+        mathematically identical (they carry no gradient either way)."""
+        _, _, _, r_cv1, _, r_cv3 = jax.random.split(rng, 6)
+        sg = lambda t: jax.tree_util.tree_map(jax.lax.stop_gradient, t)
+        gi_rc, _ = self.run_G(params_g, gen_z, batch, gen_c, nrr, r_cv1)
+        gi_rc = sg(gi_rc)
+        if self.G.data_type == "seg":
+            proj_mask = jnp.argmax(gi_rc["semantic"], axis=-1,
+                                   keepdims=True).astype(jnp.float32)
+        else:
+            proj_mask = gi_rc["semantic"]
+        gi_rec, _ = self.run_G(params_g, gen_z, batch, batch["pose"], nrr,
+                               r_cv3)
+        return {"proj_mask": proj_mask,
+                "recon_sem_raw": sg(gi_rec["semantic_raw"])}
+
     def g_main(self, params_g, params_d, params_dsem, batch, gen_z, gen_c,
-               rng, blur_sigma, nrr, aug_p=None, raw_fade=None):
+               rng, blur_sigma, nrr, aug_p=None, raw_fade=None, cv_aux=None):
         stats = StatsAccumulator()
         r_coin, r_g, r_d, r_cv1, r_cv2, r_cv3 = jax.random.split(rng, 6)
         aug = (None if (self.augment_pipe is None or aug_p is None)
@@ -329,23 +352,31 @@ class Pix2Pix3DLoss:
         # feed the predicted semantics back as the input mask, compare the
         # re-rendered raw semantics against the direct reconstruction.
         if self.lambda_cross_view > 0:
-            gen_img_rc, _ = self.run_G(params_g, gen_z, batch, gen_c, nrr, r_cv1)
-            gen_img_rc = jax.tree_util.tree_map(jax.lax.stop_gradient, gen_img_rc)
-            if self.G.data_type == "seg":
-                proj_mask = jnp.argmax(gen_img_rc["semantic"], axis=-1,
-                                       keepdims=True).astype(jnp.float32)
+            if cv_aux is not None:
+                # stop-grad renders precomputed by `cross_view_prep` in a
+                # separate program (identical values)
+                proj_mask = cv_aux["proj_mask"]
+                recon_sem_raw = cv_aux["recon_sem_raw"]
             else:
-                proj_mask = gen_img_rc["semantic"]
+                gen_img_rc, _ = self.run_G(params_g, gen_z, batch, gen_c,
+                                           nrr, r_cv1)
+                gen_img_rc = jax.tree_util.tree_map(jax.lax.stop_gradient,
+                                                    gen_img_rc)
+                if self.G.data_type == "seg":
+                    proj_mask = jnp.argmax(gen_img_rc["semantic"], axis=-1,
+                                           keepdims=True).astype(jnp.float32)
+                else:
+                    proj_mask = gen_img_rc["semantic"]
+                gen_img_recon, _ = self.run_G(params_g, gen_z, batch,
+                                              batch["pose"], nrr, r_cv3)
+                recon_sem_raw = jax.lax.stop_gradient(
+                    gen_img_recon["semantic_raw"])
             batch_proj = dict(batch)
             batch_proj["mask"] = proj_mask
             gen_img_proj, _ = self.run_G(params_g, gen_z, batch_proj,
                                          batch["pose"], nrr, r_cv2)
-            gen_img_recon, _ = self.run_G(params_g, gen_z, batch,
-                                          batch["pose"], nrr, r_cv3)
-            gen_img_recon = jax.tree_util.tree_map(jax.lax.stop_gradient,
-                                                   gen_img_recon)
             cv = smooth_l1(gen_img_proj["semantic_raw"],
-                           gen_img_recon["semantic_raw"]) * self.lambda_cross_view
+                           recon_sem_raw) * self.lambda_cross_view
             stats.report("Loss/G/loss_cross_view", cv)
             loss = loss + cv
 
