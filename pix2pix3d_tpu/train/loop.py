@@ -165,11 +165,19 @@ def training_loop(
             [dataset.get_label(i) for i in gen_idx]).reshape(
                 4, batch_size, -1).astype(np.float32))
 
+        t_step = time.time()
         state, stats = trainer.step(state, batch_dev, gen_z, gen_c, k_step,
                                     step_idx=step_idx, cur_nimg=cur_nimg,
                                     batch_size=batch_size, ema_kimg=ema_kimg,
                                     ema_rampup=ema_rampup, aug_p=augment_p)
         collector.update(jax.tree_util.tree_map(np.asarray, stats))
+        dt_step = time.time() - t_step
+        # step-level heartbeat: compiles on this toolchain take minutes, so
+        # the per-tick line alone leaves long silences
+        if step_idx < 3 or step_idx in (4, 16) or step_idx % 100 == 0 \
+                or dt_step > 60:
+            print(f"step {step_idx}  {dt_step:7.1f}s  "
+                  f"(nimg {cur_nimg})", flush=True)
         cur_nimg += batch_size
         step_idx += 1
 
