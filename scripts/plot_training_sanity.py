@@ -17,7 +17,10 @@ def main():
     with open(f"{run_dir}/stats.jsonl") as f:
         for line in f:
             rows.append(json.loads(line))
-    kimg = [r["Progress/kimg"]["mean"] for r in rows]
+    def val(r, k):
+        v = r[k]
+        return v["mean"] if isinstance(v, dict) else v
+    kimg = [val(r, "Progress/kimg") for r in rows]
 
     panels = [
         ("GAN losses", ["Loss/G/loss", "Loss/D/loss", "Loss/D_semantic/loss"]),
@@ -33,7 +36,7 @@ def main():
     for ax, (title, keys) in zip(axes.flat, panels):
         for k in keys:
             if k in rows[0]:
-                ax.plot(kimg, [r[k]["mean"] for r in rows], label=k.split("/", 1)[1])
+                ax.plot(kimg, [val(r, k) for r in rows], marker="o", label=k.split("/", 1)[1])
         ax.set_title(title)
         ax.set_xlabel("kimg")
         ax.legend(fontsize=7)
@@ -45,7 +48,7 @@ def main():
     last = rows[-1]
     for k in sorted(last):
         if k.startswith("Loss/"):
-            print(f"{k:36s} {last[k]['mean']:+.4f}")
+            print(f"{k:36s} {val(last, k):+.4f}")
 
 
 if __name__ == "__main__":
