@@ -26,16 +26,19 @@ import time
 import numpy as np
 
 BASELINE_IPS = 30.0  # estimated reference images/sec on A100 (see docstring)
-BATCH = 16  # best measured batch (NOTES_PERF round 2/2b)
+BATCH = 32  # best measured batch (fused kernel freed the batch-16 HBM ceiling); --batch N overrides
 WARMUP = 2
 ITERS = 8
 
 
 def main():
+    global BATCH
     sampler = "gather" if "--sampler" in sys.argv and \
         sys.argv[sys.argv.index("--sampler") + 1] == "gather" else "frustum"
     decoder_impl = "ref" if "--decoder" in sys.argv and \
         sys.argv[sys.argv.index("--decoder") + 1] == "ref" else "pallas"
+    if "--batch" in sys.argv:
+        BATCH = int(sys.argv[sys.argv.index("--batch") + 1])
     import jax
     import jax.numpy as jnp
     from pix2pix3d_tpu import config as cfg_mod
