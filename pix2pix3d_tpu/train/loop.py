@@ -153,6 +153,28 @@ def training_loop(
     tick_start_nimg = cur_nimg
     tick_start_time = time.time()
 
+    # Hang watchdog: the v5e runtime has been observed to block a device
+    # call forever (silent variant of the worker-crash fault, NOTES_PERF
+    # round 2e).  A daemon thread flags steps stuck far beyond the worst
+    # legitimate stall (a cold compile) so runs fail loudly instead of
+    # idling for hours.  It cannot cancel the blocked XLA call — it logs,
+    # then hard-exits so a supervisor can restart from the last snapshot.
+    import threading
+    watchdog_deadline = [None]
+
+    def _watchdog():
+        while True:
+            time.sleep(30)
+            d = watchdog_deadline[0]
+            if d is not None and time.time() > d:
+                print(f"WATCHDOG: step {step_idx} exceeded "
+                      f"{step_timeout_sec}s (device call hung) — aborting "
+                      "for supervisor restart", flush=True)
+                os._exit(74)
+
+    step_timeout_sec = 2400  # > worst cold compile observed (~20 min)
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     while True:
         batch = next(iter(loader))
         batch_dev = {k: jnp.asarray(v) for k, v in batch.items()
@@ -166,11 +188,13 @@ def training_loop(
                 4, batch_size, -1).astype(np.float32))
 
         t_step = time.time()
+        watchdog_deadline[0] = t_step + step_timeout_sec
         state, stats = trainer.step(state, batch_dev, gen_z, gen_c, k_step,
                                     step_idx=step_idx, cur_nimg=cur_nimg,
                                     batch_size=batch_size, ema_kimg=ema_kimg,
                                     ema_rampup=ema_rampup, aug_p=augment_p)
         collector.update(jax.tree_util.tree_map(np.asarray, stats))
+        watchdog_deadline[0] = None
         dt_step = time.time() - t_step
         # step-level heartbeat: compiles on this toolchain take minutes, so
         # the per-tick line alone leaves long silences
