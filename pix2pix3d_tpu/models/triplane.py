@@ -235,8 +235,12 @@ class _TriPlaneBase:
                                                      self.decoder.lr_mul),
                         True, self.decoder.semantic_sigmoid)
                 else:
-                    decoder = lambda f, d: self.decoder(
-                        params["decoder"], f, d, impl="pallas")
+                    raise ValueError(
+                        "rendering_kwargs['decoder_impl']='pallas' requires "
+                        "the OSGDecoderSemanticLateSeparate decoder (the "
+                        f"fused kernel hard-codes its topology); got "
+                        f"{type(self.decoder).__name__}. Drop decoder_impl "
+                        "or use the lateSeparate generator configs.")
             feature_samples, depth_samples, weights_samples = frustum_render(
                 planes, decoder, cam2world, intrinsics, self.rendering_kwargs,
                 neural_rendering_resolution,

@@ -76,6 +76,16 @@ def fuse_late_separate_params(params, lr_mul):
     Gains follow `nn.layers.FullyConnected`: weight * lr_mul/sqrt(in),
     bias * lr_mul."""
 
+    # The packing below hard-codes n_features=32, hidden=64 and
+    # decoder_output_dim=32 (the shipped lateSeparate topology); clamped
+    # numpy-style slicing would silently truncate wider decoders, so fail
+    # loudly on any other shape.
+    for net in ("net", "net_semantic"):
+        assert params[net]["fc0"]["weight"].shape == (32, 64), \
+            f"{net}.fc0 weight {params[net]['fc0']['weight'].shape} != (32, 64)"
+        assert params[net]["fc1"]["weight"].shape == (64, 33), \
+            f"{net}.fc1 weight {params[net]['fc1']['weight'].shape} != (64, 33)"
+
     def g(net, layer, fan_in):
         w = params[net][layer]["weight"] * (lr_mul / jnp.sqrt(fan_in))
         b = params[net][layer]["bias"] * lr_mul

@@ -39,6 +39,52 @@ def make_mesh(devices=None, axis="data"):
     return Mesh(np.asarray(devices), (axis,))
 
 
+class FlatStats:
+    """Mapping view over the step's single flat stats vector.
+
+    The device program returns ONE [total] f32 array; the first key access
+    triggers exactly one device->host transfer, then splits it into named
+    moment vectors using the (name, size) spec recorded when the step
+    function was traced."""
+
+    def __init__(self, flat, spec):
+        self._flat = flat
+        self._spec = spec
+        self._split = None
+
+    def _asdict(self):
+        if self._split is None:
+            a = np.asarray(self._flat)
+            out, off = {}, 0
+            for k, n in self._spec:
+                out[k] = a[off:off + n]
+                off += n
+            assert off == a.size, (off, a.size, self._spec)
+            self._split = out
+        return self._split
+
+    def __getitem__(self, key):
+        return self._asdict()[key]
+
+    def __contains__(self, key):
+        return key in self._asdict()
+
+    def __iter__(self):
+        return iter(self._asdict())
+
+    def __len__(self):
+        return len(self._asdict())
+
+    def keys(self):
+        return self._asdict().keys()
+
+    def values(self):
+        return self._asdict().values()
+
+    def items(self):
+        return self._asdict().items()
+
+
 def _nan_to_num(tree):
     """ref `training_loop.py:538`: nan->0, +-inf->+-1e5 on the grads."""
     return jax.tree_util.tree_map(
@@ -142,7 +188,8 @@ class Trainer:
 
     def _device_step(self, state, batch, gen_z, gen_c, rng, ema_beta,
                      do_greg, do_dreg, do_dsemreg, blur_sigma, nrr,
-                     aug_p=None, blur_size=None, raw_fade=None, cv_aux=None):
+                     aug_p=None, blur_size=None, raw_fade=None, cv_aux=None,
+                     stats_spec_out=None):
         """One full training iteration on one device's shard.
 
         `blur_sigma` is traced (a scalar array) when `blur_size` is a
@@ -253,11 +300,19 @@ class Trainer:
         state["G_ema"] = ema_update(state["G_ema"], state["G"], ema_beta)
         state["G_ema"] = copy_buffers(state["G_ema"], state["G"])
 
-        # ONE collective for all stat moments (vs one psum per metric)
+        # ONE collective for all stat moments (vs one psum per metric) AND
+        # one flat device->host transfer per step: the host splits the
+        # vector back into named moments using the spec recorded at trace
+        # time (~16 stats x [3] would otherwise be ~50 small fetches over
+        # the axon tunnel every step).
         from jax.flatten_util import ravel_pytree
-        flat_stats, unravel_stats = ravel_pytree(stats)
-        stats = unravel_stats(jax.lax.psum(flat_stats, axis))
-        return state, stats
+        flat_stats, _ = ravel_pytree(stats)
+        if stats_spec_out is not None:
+            del stats_spec_out[:]  # retrace resets the spec
+            stats_spec_out.extend(
+                (k, int(np.prod(np.shape(v), dtype=np.int64)))
+                for k, v in sorted(stats.items()))
+        return state, jax.lax.psum(flat_stats, axis)
 
     def _apply_w_avg(self, params_g, ws_mean, axis):
         """Update the conditional mapping's w_avg from the D-phase batch-mean
@@ -293,9 +348,10 @@ class Trainer:
         data = P(axis)           # shard batch dim
         phase_data = P(None, axis)  # [n_phases, B, ...]: shard dim 1
 
+        stats_spec = []
         fn = functools.partial(self._device_step, do_greg=do_greg,
                                do_dreg=do_dreg, do_dsemreg=do_dsemreg,
-                               nrr=nrr)
+                               nrr=nrr, stats_spec_out=stats_spec)
 
         # Only thread dynamic scalars (blur σ, raw_fade, ADA p) through the
         # traced signature when the corresponding feature is active — keeps
@@ -348,8 +404,8 @@ class Trainer:
         # in place instead of double-buffered (saves the full state size in
         # HBM per step; callers all rebind `state` from the return).
         jitted = jax.jit(sharded, donate_argnums=(0,))
-        self._step_cache[key] = jitted
-        return jitted
+        self._step_cache[key] = (jitted, stats_spec)
+        return self._step_cache[key]
 
     def _cv_prep_device(self, state, batch, gen_z, gen_c, rng, nrr):
         """Per-device body of the split cross-view prep: EXACTLY the rng
@@ -418,8 +474,9 @@ class Trainer:
             # beyond the reference's floor(3σ) truncation (|w| < 1e-2 of
             # peak), a documented sub-1e-2 deviation during the fade only.
             blur_size = -(-blur_size // 8) * 8
-        step_fn = self.make_step(do_greg, do_dreg, do_dreg, blur_size,
-                                 sched["neural_rendering_resolution"])
+        step_fn, stats_spec = self.make_step(
+            do_greg, do_dreg, do_dreg, blur_size,
+            sched["neural_rendering_resolution"])
         args = (state, batch, gen_z, gen_c, rng,
                 jnp.asarray(beta, jnp.float32))
         if getattr(self.loss, "lambda_cross_view", 0) > 0 \
@@ -433,4 +490,5 @@ class Trainer:
             args = args + (jnp.asarray(sched["raw_fade"], jnp.float32),)
         if self.loss.augment_pipe is not None:
             args = args + (jnp.asarray(aug_p, jnp.float32),)
-        return step_fn(*args)
+        state, flat_stats = step_fn(*args)
+        return state, FlatStats(flat_stats, stats_spec)

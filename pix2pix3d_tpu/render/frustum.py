@@ -298,6 +298,45 @@ def sample_slabs_prepared(prep, t_vals, nrr, compute_dtype=jnp.float32,
                              prep["F1"].reshape(n, q, 2)))  # [N, T, r, r, C]
 
 
+def window_coverage_violation(prep, t_vals, nrr, win, chunk):
+    """Traced scalar bool: does ANY chunk's contraction window fail to
+    cover a tap the full contraction would have used?
+
+    Mirrors `slab_resample`'s window math exactly (same center formula,
+    same floor/clip/sublane rounding of the start), but runs OUTSIDE the
+    banded-matmul hot loop: centers depend only on camera geometry and
+    depth values, never on texture content, so the whole check is a few
+    hundred-KB of VPU scalar work per call (ADVICE round 2 — previously
+    an in-loop guard here cost ~17% of serving throughput).
+
+    Off-texture centers produce zeros on both the windowed and full paths,
+    so they are clipped to the texture before the comparison."""
+    ext = prep["tex"].shape[1]
+    n, q = prep["n"], prep["q"]
+    win_y, win_x = min(win[0], ext), min(win[1], ext)
+    if win_y >= ext and win_x >= ext:
+        return jnp.asarray(False)
+    ii = jnp.arange(nrr, dtype=jnp.float32)
+    ch = t_vals.reshape(n, -1, chunk)                     # [N, CH, TC]
+
+    def axis_bad(d, f0, f1, win_len):
+        d = d.reshape(n, q)[:, :, None, None, None]       # [N, q, 1, 1, 1]
+        f0 = f0.reshape(n, q)[:, :, None, None, None]
+        f1 = f1.reshape(n, q)[:, :, None, None, None]
+        t = ch[:, None, :, :, None]                       # [N, 1, CH, TC, 1]
+        c = t * d * ii + f0 + t * f1 + MARGIN             # [N, q, CH, TC, nrr]
+        start = (jnp.clip(jnp.floor(jnp.min(c, axis=(3, 4))) - 2.0,
+                          0, ext - win_len).astype(jnp.int32) // 8) * 8
+        start = start.astype(jnp.float32)[..., None, None]
+        cc = jnp.clip(c, 0.0, ext - 1.0)
+        return ((jnp.max(cc, axis=(3, 4)) > (start + (win_len - 1.0))[..., 0, 0])
+                | (jnp.min(cc, axis=(3, 4)) < start[..., 0, 0]))
+
+    bad_y = axis_bad(prep["d2"], prep["F0"][:, 1], prep["F1"][:, 1], win_y)
+    bad_x = axis_bad(prep["d1"], prep["F0"][:, 0], prep["F1"][:, 0], win_x)
+    return jnp.any(bad_y | bad_x)
+
+
 def frustum_render(planes, decoder, cam2world, intrinsics, rendering_options,
                    nrr, depth_steps=None, chunk=None, window=None,
                    compute_dtype=jnp.float32, fused_decoder=None):
@@ -357,6 +396,19 @@ def frustum_render(planes, decoder, cam2world, intrinsics, rendering_options,
     t_vals = t_lo[:, None] + steps[None, :] * (t_hi - t_lo)[:, None]  # [N, T]
 
     r = nrr * nrr
+
+    # Coverage guard for the windowed contraction (ADVICE round 2): cameras
+    # outside the assumed orbit envelope NaN-poison the render instead of
+    # silently zero-fading.  Runs ONCE, outside the banded-matmul hot loop
+    # (centers depend only on geometry) — see `window_coverage_violation`.
+    # The poison rides INTO the depth grid (`t + nan*0 = nan`) rather than
+    # onto the output: consuming it at the end of the program was measured
+    # to cost ~16% serving throughput (XLA scheduling interaction), while
+    # the input-side dependency is free — the checker runs before the slab
+    # loop starts.
+    if bool(opts.get("frustum_window_check", True)):
+        bad = window_coverage_violation(prep, t_vals, nrr, window, chunk)
+        t_vals = t_vals + jnp.where(bad, jnp.nan, 0.0) * 0.0
 
     if fused_decoder is not None:
         from ..ops.render_pallas import fused_decode_composite
@@ -434,20 +486,35 @@ def frustum_render(planes, decoder, cam2world, intrinsics, rendering_options,
         return (colors[:, -1], sigmas[:, -1], depths[:, -1], trans,
                 acc_rgb, acc_d, acc_w)
 
+    # Per-chunk rematerialization: each chunk's decode+composite is
+    # recomputed in the backward pass instead of saving its slab features,
+    # hidden activations, and colors as residuals — only the small carry
+    # survives per chunk.  Training through the frustum path at nrr=128
+    # would otherwise store O(T * nrr^2 * 64) activations; forward-only
+    # (serving) cost is unchanged (checkpoint is identity without a
+    # cotangent).  Opt out with rendering_kwargs['frustum_remat'] = False.
+    remat = (jax.checkpoint if opts.get("frustum_remat", True)
+             else (lambda f: f))
+
     # first chunk initializes the carry with its own first sample, then
     # composites its remaining samples (no re-decode)
-    colors0, sigmas0, depths0 = decode_chunk(t_vals[:, :chunk])
-    c_dim = colors0.shape[-1]
-    carry = (colors0[:, 0], sigmas0[:, 0], depths0[:, 0],
-             jnp.ones((n, r), jnp.float32),
-             jnp.zeros((n, r, c_dim), jnp.float32),
-             jnp.zeros((n, r), jnp.float32),
-             jnp.zeros((n, r), jnp.float32))
-    carry = composite_step(carry, colors0[:, 1:], sigmas0[:, 1:],
-                           depths0[:, 1:])
+    @remat
+    def first_chunk(t_chunk):
+        colors0, sigmas0, depths0 = decode_chunk(t_chunk)
+        c_dim = colors0.shape[-1]
+        carry = (colors0[:, 0], sigmas0[:, 0], depths0[:, 0],
+                 jnp.ones((n, r), jnp.float32),
+                 jnp.zeros((n, r, c_dim), jnp.float32),
+                 jnp.zeros((n, r), jnp.float32),
+                 jnp.zeros((n, r), jnp.float32))
+        return composite_step(carry, colors0[:, 1:], sigmas0[:, 1:],
+                              depths0[:, 1:])
+
+    carry = first_chunk(t_vals[:, :chunk])
 
     n_chunks = (T - chunk) // chunk
     if n_chunks > 0:
+        @remat
         def scan_body(carry, t_chunk):
             colors, sigmas, depths = decode_chunk(t_chunk)
             return composite_step(carry, colors, sigmas, depths), None

@@ -26,11 +26,32 @@ from flax import serialization
 from ..utils.misc import tree_paths
 
 
+def _snapshot_host(state):
+    """Device->host fetch of the full train state, decoupled from donation.
+
+    The naive per-leaf `np.asarray(state)` streams ~2 GB straight out of
+    the SAME buffers the next donated train step will overwrite; on the
+    v5e runtime a post-tick-0 device hang was traced to this window
+    (NOTES_PERF round 2e).  Instead: ONE jitted identity program copies
+    the tree into fresh (non-donated) buffers, blocks until the copy is
+    complete, then fetches from the copy."""
+    leaves = jax.tree_util.tree_leaves(state)
+    if not any(isinstance(l, jax.Array) and not l.is_deleted() and
+               list(l.devices())[0].platform not in ("cpu",)
+               for l in leaves):
+        return jax.tree_util.tree_map(np.asarray, state)
+    snap = jax.jit(lambda t: jax.tree_util.tree_map(jnp.copy, t))(state)
+    jax.block_until_ready(snap)
+    host = jax.device_get(snap)
+    del snap
+    return host
+
+
 def save_checkpoint(path, state, config=None, step=None):
     # to_state_dict converts optax NamedTuple states into plain dicts that
     # msgpack can serialize; from_state_dict restores them on load.
     state = serialization.to_state_dict(state)
-    payload = {"state": jax.tree_util.tree_map(np.asarray, state)}
+    payload = {"state": _snapshot_host(state)}
     if step is not None:
         payload["step"] = step
     data = serialization.msgpack_serialize(payload)

@@ -133,7 +133,10 @@ def training_loop(
     # file is the canonical sink, stats.jsonl the greppable one).
     stats_jsonl = open(os.path.join(run_dir, "stats.jsonl"), "at")
     from .tb import TBWriter
+    from .wandb_sink import WandbSink
     tb_writer = TBWriter(run_dir)
+    wandb_sink = WandbSink(run_dir, config=dict(g_config=g_config,
+                                               loss_kwargs=loss_kwargs))
     collector = Collector()
 
     # Snapshot grid inputs.
@@ -193,7 +196,7 @@ def training_loop(
                                     step_idx=step_idx, cur_nimg=cur_nimg,
                                     batch_size=batch_size, ema_kimg=ema_kimg,
                                     ema_rampup=ema_rampup, aug_p=augment_p)
-        collector.update(jax.tree_util.tree_map(np.asarray, stats))
+        collector.update(dict(stats))  # ONE device->host fetch (FlatStats)
         watchdog_deadline[0] = None
         dt_step = time.time() - t_step
         # step-level heartbeat: compiles on this toolchain take minutes, so
@@ -236,6 +239,7 @@ def training_loop(
         stats_jsonl.write(json.dumps(fields) + "\n")
         stats_jsonl.flush()
         tb_writer.add_scalars(fields, step=cur_nimg)
+        wandb_sink.log_scalars(fields, step=cur_nimg)
         print(f"tick {tick:<5d} kimg {kimg:<8.1f} "
               f"time {format_time(time.time() - start_time):<12s} "
               f"sec/kimg {fields['Timing/sec_per_kimg']:<7.1f} "
@@ -245,7 +249,8 @@ def training_loop(
 
         if image_snapshot_ticks is not None and tick % image_snapshot_ticks == 0:
             _save_fakes(G, state["G_ema"], grid_z, grid_batch, grid_n, run_dir,
-                        cur_nimg, dataset.data_type, tb_writer=tb_writer)
+                        cur_nimg, dataset.data_type, tb_writer=tb_writer,
+                        wandb_sink=wandb_sink)
         if snapshot_ticks is not None and tick % snapshot_ticks == 0:
             save_checkpoint(
                 os.path.join(run_dir, f"network-snapshot-{cur_nimg//1000:06d}.ckpt"),
@@ -261,13 +266,15 @@ def training_loop(
 
     save_checkpoint(os.path.join(run_dir, "network-final.ckpt"), state,
                     config=dict(g_config=g_config), step=cur_nimg)
+    wandb_sink.finish()
     print(f"done: {cur_nimg / 1e3:.1f} kimg in "
           f"{format_time(time.time() - start_time)}")
     return state
 
 
 def _save_fakes(G, params_ema, grid_z, grid_batch, grid_n, run_dir, cur_nimg,
-                data_type, tb_writer=None, multiview_yaws=(-0.35, 0.0, 0.35)):
+                data_type, tb_writer=None, wandb_sink=None,
+                multiview_yaws=(-0.35, 0.0, 0.35)):
     """Full snapshot inventory (ref `training_loop.py:602-691`): SR fakes,
     raw neural render, normalized depth, semantic label map, and a
     multi-view grid of the first seeds under yaw offsets."""
@@ -280,12 +287,16 @@ def _save_fakes(G, params_ema, grid_z, grid_batch, grid_n, run_dir, cur_nimg,
     def emit(name, arr_uint8):
         path = os.path.join(run_dir, f"fakes{tag}{name}.png")
         grid = save_image_grid(arr_uint8, path)
-        if tb_writer is not None:
+        if tb_writer is not None or (wandb_sink is not None
+                                     and wandb_sink.enabled):
             img = np.clip(np.rint(arr_uint8), 0, 255).astype(np.uint8)
             if img.shape[-1] == 1:
                 img = np.repeat(img, 3, axis=-1)
-            tb_writer.add_image(f"fakes{name or '/sr'}", _to_grid(img),
-                                cur_nimg)
+            if tb_writer is not None:
+                tb_writer.add_image(f"fakes{name or '/sr'}", _to_grid(img),
+                                    cur_nimg)
+            if wandb_sink is not None:
+                wandb_sink.log_images(f"fakes{name or '/sr'}", img, cur_nimg)
         return grid
 
     emit("", (np.asarray(out["image"]) + 1) * 127.5)

@@ -94,11 +94,24 @@ def render_view(objs, bg_phase, c2w, fov_deg, res):
     return np.clip(rgb, 0, 255).astype(np.uint8), cls
 
 
+def edge_sketch(cls):
+    """Semantic boundary map as a black-lines-on-white sketch (uint8),
+    the format ImageEdgeFolderDataset expects (shapenet_edge-style):
+    the loader inverts (255 - x) and 3x3 box-blurs, so lines must be
+    DARK on a white page."""
+    edge = np.zeros(cls.shape, bool)
+    edge[:-1, :] |= cls[:-1, :] != cls[1:, :]
+    edge[:, :-1] |= cls[:, :-1] != cls[:, 1:]
+    return np.where(edge, 0, 255).astype(np.uint8)
+
+
 def main():
-    outdir = sys.argv[1]
-    n_scenes = int(sys.argv[2]) if len(sys.argv) > 2 else 128
-    views = int(sys.argv[3]) if len(sys.argv) > 3 else 4
-    res = int(sys.argv[4]) if len(sys.argv) > 4 else 128
+    args = [a for a in sys.argv[1:] if a != "--edge"]
+    make_edges = "--edge" in sys.argv
+    outdir = args[0]
+    n_scenes = int(args[1]) if len(args) > 1 else 128
+    views = int(args[2]) if len(args) > 2 else 4
+    res = int(args[3]) if len(args) > 3 else 128
 
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -107,7 +120,7 @@ def main():
                                              pose_to_conditioning)
 
     img_dir = os.path.join(outdir, "imgs")
-    mask_dir = os.path.join(outdir, "masks")
+    mask_dir = os.path.join(outdir, "edges" if make_edges else "masks")
     os.makedirs(img_dir, exist_ok=True)
     os.makedirs(mask_dir, exist_ok=True)
     rng = np.random.RandomState(7)
@@ -124,7 +137,8 @@ def main():
             rgb, cls = render_view(objs, bg_phase, c2w, 18.837, res)
             name = f"s{s:04d}_v{vi}.png"
             PIL.Image.fromarray(rgb).save(os.path.join(img_dir, name))
-            PIL.Image.fromarray(cls).save(os.path.join(mask_dir, name))
+            cond = edge_sketch(cls) if make_edges else cls
+            PIL.Image.fromarray(cond).save(os.path.join(mask_dir, name))
             pose = np.asarray(pose_to_conditioning(
                 c2w[None], intr))[0]
             labels.append([name, [float(x) for x in pose]])

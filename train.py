@@ -95,6 +95,21 @@ def main():
     p.add_argument("--point_chunk", type=int, default=0,
                    help="renderer field-eval chunk (points); smaller caps "
                         "train-step HBM, 0 = renderer default")
+    p.add_argument("--sampler", default="gather",
+                   choices=["gather", "frustum"],
+                   help="volume sampler: 'gather' = bit-faithful two-pass "
+                        "importance renderer (reference parity); 'frustum' "
+                        "= gather-free regular-z slab renderer "
+                        "(render/frustum.py) — banded MXU matmuls, no "
+                        "gather/scatter in the G backward, a documented "
+                        "sample-placement approximation")
+    p.add_argument("--frustum_depth_steps", type=int, default=96,
+                   help="regular z-depth slabs for --sampler frustum "
+                        "(parity path uses 48 coarse + 48 importance)")
+    p.add_argument("--frustum_chunk", type=int, default=8)
+    p.add_argument("--frustum_bf16", type=parse_bool, default=True,
+                   help="bf16 compute (f32 accumulate) inside the frustum "
+                        "renderer")
     p.add_argument("--remat", type=parse_bool, default=False,
                    help="rematerialize the G forward in backward "
                         "(fits bigger batches; one extra G forward)")
@@ -149,6 +164,12 @@ def main():
         # caps the renderer's per-chunk patch-gather temps (bit-identical
         # output; the [chunk*N*3, 2, 2, C] gather tile pads 16x in HBM)
         g_config["rendering_kwargs"]["point_chunk"] = args.point_chunk
+    if args.sampler == "frustum":
+        g_config["rendering_kwargs"]["sampler"] = "frustum"
+        g_config["rendering_kwargs"]["frustum_depth_steps"] = \
+            args.frustum_depth_steps
+        g_config["rendering_kwargs"]["frustum_chunk"] = args.frustum_chunk
+        g_config["rendering_kwargs"]["frustum_bf16"] = args.frustum_bf16
 
     blur_init = 10 if (args.resume is None or args.resume_blur) else 0
     gpc_fade = args.gpc_reg_fade_kimg if (args.resume is None or args.resume_blur) \
