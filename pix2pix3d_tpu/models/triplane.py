@@ -247,6 +247,7 @@ class _TriPlaneBase:
                 depth_steps=self.rendering_kwargs.get("frustum_depth_steps"),
                 chunk=self.rendering_kwargs.get("frustum_chunk"),
                 window=self.rendering_kwargs.get("frustum_window"),
+                tiles=self.rendering_kwargs.get("frustum_tiles"),
                 compute_dtype=jnp.bfloat16
                 if self.rendering_kwargs.get("frustum_bf16", True)
                 else jnp.float32,

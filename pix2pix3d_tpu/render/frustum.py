@@ -184,8 +184,16 @@ def shear_texture(tex, a, b, compute_dtype=jnp.float32):
     return jnp.swapaxes(t2t, 0, 1)                              # [ext_y, ext_x, C]
 
 
+def _win_start(centers, in_len, w):
+    """Start index of a window of length `w` covering `centers`' taps:
+    floor(min)-2 slack, clipped to the input, rounded down to sublane
+    multiples of 8 (keeps the texture's tiled layout under dynamic_slice)."""
+    return (jnp.clip(jnp.floor(jnp.min(centers)) - 2.0, 0, in_len - w)
+            .astype(jnp.int32) // 8) * 8
+
+
 def slab_resample(t2, t_vals, d1, d2, F0, F1, nrr, compute_dtype=jnp.float32,
-                  win=None, channels_first=False):
+                  win=None, tiles=None, channels_first=False):
     """Per-slab axis-aligned scale+translate on the sheared texture.
 
     t2 [ext, ext, C]; t_vals [T].  Returns [T, nrr, nrr, C]:
@@ -200,13 +208,65 @@ def slab_resample(t2, t_vals, d1, d2, F0, F1, nrr, compute_dtype=jnp.float32,
     for off-texture centers are preserved because clamping the window to
     the texture keeps exactly the taps the full version had).  Cuts the
     banded-matmul FLOPs ~2.3x and the [T, nrr, ext, C] intermediate 25%;
-    exactness vs the full path is asserted in tests/test_frustum.py."""
+    exactness vs the full path is asserted in tests/test_frustum.py.
+
+    tiles=(gi, wy_t, gj, wx_t, wxu): per-OUTPUT-TILE sub-windows — the
+    round-3 refinement of `win`.  The support of a 32-output tile spans
+    only |t*d|*gi + chunk drift ~= 60 texels at the seg2cat orbit (the
+    236-texel chunk-wide span is dominated by the output extent, not the
+    per-output support), so each tile of gi output rows contracts its own
+    wy_t-texel y-window sliced from the texture, and each tile of gj output
+    columns contracts a wx_t-texel x-window sliced from the stage-1
+    intermediate (itself restricted to a wxu-texel union x-window).  FLOPs
+    vs the single (256, 384) window: stage 1 drops (256*384 -> wy_t*wxu),
+    stage 2 drops (384 -> wx_t) — 4x combined at the default
+    (32, 96, 32, 96, 256).  Same zero-padding equivalence argument as
+    `win`; exactness asserted in tests/test_frustum.py, runtime coverage
+    enforced by `window_coverage_violation(tiles=...)`."""
     ext = t2.shape[0]
     ii = jnp.arange(nrr, dtype=jnp.float32)
     cy = (t_vals[:, None] * d2 * ii[None, :]
           + (F0[1] + t_vals[:, None] * F1[1]) + MARGIN)         # [T, nrr]
     cx = (t_vals[:, None] * d1 * ii[None, :]
           + (F0[0] + t_vals[:, None] * F1[0]) + MARGIN)
+    T, C = t_vals.shape[0], t2.shape[2]
+
+    if tiles is not None:
+        gi, wy_t, gj, wx_t, wxu = tiles
+        wxu = min(wxu, ext)
+        wy_t = min(wy_t, ext)
+        wx_t = min(wx_t, wxu)
+        # union x-window: one slice shared by every tile's stage-1 matmul
+        if wxu < ext:
+            x0u = _win_start(cx, ext, wxu)
+            t2 = jax.lax.dynamic_slice(t2, (0, x0u, 0), (ext, wxu, C))
+            cx = cx - x0u.astype(jnp.float32)
+        # stage 1: per-i-tile y-windows, y contracted, x carried
+        vs = []
+        for i0 in range(0, nrr, gi):
+            cy_t = cy[:, i0:i0 + gi]
+            y0 = _win_start(cy_t, ext, wy_t)
+            sl = jax.lax.dynamic_slice(t2, (y0, 0, 0), (wy_t, wxu, C))
+            Wy = _band_weights(cy_t - y0.astype(jnp.float32), wy_t,
+                               dtype=compute_dtype)
+            vs.append(jnp.einsum("tiy,yxc->tixc", Wy,
+                                 sl.astype(compute_dtype),
+                                 preferred_element_type=jnp.float32))
+        v = jnp.concatenate(vs, axis=1)                 # [T, nrr, wxu, C]
+        # stage 2: per-j-tile x-windows sliced from the intermediate
+        outs = []
+        for j0 in range(0, nrr, gj):
+            cx_t = cx[:, j0:j0 + gj]
+            x0 = _win_start(cx_t, wxu, wx_t)
+            slv = jax.lax.dynamic_slice(
+                v, (0, 0, x0, 0), (T, nrr, wx_t, C))
+            Wx = _band_weights(cx_t - x0.astype(jnp.float32), wx_t,
+                               dtype=compute_dtype)
+            eq = "tjx,tixc->tcij" if channels_first else "tjx,tixc->tijc"
+            outs.append(jnp.einsum(eq, Wx, slv.astype(compute_dtype),
+                                   preferred_element_type=jnp.float32))
+        return jnp.concatenate(outs, axis=-1 if channels_first else 2)
+
     ext_y = ext_x = ext
     if win is not None and min(win) < ext:
         win_y, win_x = min(win[0], ext), min(win[1], ext)
@@ -267,7 +327,7 @@ def prepare_textures(planes, coeffs, compute_dtype=jnp.float32):
 
 
 def sample_slabs_prepared(prep, t_vals, nrr, compute_dtype=jnp.float32,
-                          win=None, channels_first=False):
+                          win=None, tiles=None, channels_first=False):
     """[N, T, nrr, nrr, C] mean-over-planes features for depth values
     t_vals [N, T] (per image).  Result dtype is compute_dtype (f32
     accumulation happens inside).
@@ -288,7 +348,8 @@ def sample_slabs_prepared(prep, t_vals, nrr, compute_dtype=jnp.float32,
         for qi in range(q):
             acc = acc + slab_resample(texs[qi], t, d1s[qi], d2s[qi],
                                       F0s[qi], F1s[qi], nrr, compute_dtype,
-                                      win=win, channels_first=channels_first)
+                                      win=win, tiles=tiles,
+                                      channels_first=channels_first)
         return (acc / q).astype(compute_dtype)
 
     return jax.lax.map(one, (prep["tex"].reshape(n, q, *sh), t_vals,
@@ -298,7 +359,7 @@ def sample_slabs_prepared(prep, t_vals, nrr, compute_dtype=jnp.float32,
                              prep["F1"].reshape(n, q, 2)))  # [N, T, r, r, C]
 
 
-def window_coverage_violation(prep, t_vals, nrr, win, chunk):
+def window_coverage_violation(prep, t_vals, nrr, win, chunk, tiles=None):
     """Traced scalar bool: does ANY chunk's contraction window fail to
     cover a tap the full contraction would have used?
 
@@ -310,35 +371,80 @@ def window_coverage_violation(prep, t_vals, nrr, win, chunk):
     an in-loop guard here cost ~17% of serving throughput).
 
     Off-texture centers produce zeros on both the windowed and full paths,
-    so they are clipped to the texture before the comparison."""
+    so they are clipped to the texture before the comparison.
+
+    With `tiles` set, checks the tiled sub-window path instead: per-i-tile
+    y-windows against the full texture, the union x-window against the
+    full texture, and per-j-tile x-windows against the union window."""
     ext = prep["tex"].shape[1]
     n, q = prep["n"], prep["q"]
-    win_y, win_x = min(win[0], ext), min(win[1], ext)
-    if win_y >= ext and win_x >= ext:
-        return jnp.asarray(False)
     ii = jnp.arange(nrr, dtype=jnp.float32)
     ch = t_vals.reshape(n, -1, chunk)                     # [N, CH, TC]
 
-    def axis_bad(d, f0, f1, win_len):
+    def centers(d, f0, f1):
         d = d.reshape(n, q)[:, :, None, None, None]       # [N, q, 1, 1, 1]
         f0 = f0.reshape(n, q)[:, :, None, None, None]
         f1 = f1.reshape(n, q)[:, :, None, None, None]
         t = ch[:, None, :, :, None]                       # [N, 1, CH, TC, 1]
-        c = t * d * ii + f0 + t * f1 + MARGIN             # [N, q, CH, TC, nrr]
-        start = (jnp.clip(jnp.floor(jnp.min(c, axis=(3, 4))) - 2.0,
-                          0, ext - win_len).astype(jnp.int32) // 8) * 8
-        start = start.astype(jnp.float32)[..., None, None]
-        cc = jnp.clip(c, 0.0, ext - 1.0)
-        return ((jnp.max(cc, axis=(3, 4)) > (start + (win_len - 1.0))[..., 0, 0])
-                | (jnp.min(cc, axis=(3, 4)) < start[..., 0, 0]))
+        return t * d * ii + f0 + t * f1 + MARGIN          # [N, q, CH, TC, nrr]
 
-    bad_y = axis_bad(prep["d2"], prep["F0"][:, 1], prep["F1"][:, 1], win_y)
-    bad_x = axis_bad(prep["d1"], prep["F0"][:, 0], prep["F1"][:, 0], win_x)
-    return jnp.any(bad_y | bad_x)
+    def win_bad(c, cc, in_len, win_len, group=None):
+        """Coverage failure of the floor(min)-2 / clip / sublane-rounded
+        window over the trailing output axis (optionally split into tiles
+        of `group` outputs).  `c` drives the start computation (mirrors the
+        resample, which uses UNCLIPPED centers); `cc` is the texture-clipped
+        centers whose taps actually carry weight.  Both may be pre-offset
+        into a parent window's coordinates; `in_len` is that parent's
+        extent."""
+        if group is not None:
+            c = c.reshape(*c.shape[:3], c.shape[3], -1, group)
+            cc = cc.reshape(*cc.shape[:3], cc.shape[3], -1, group)
+            red = (3, 5)                                  # (TC, tile outputs)
+        else:
+            red = (3, 4)
+        start = (jnp.clip(jnp.floor(jnp.min(c, axis=red)) - 2.0,
+                          0, in_len - win_len).astype(jnp.int32) // 8) * 8
+        start = start.astype(jnp.float32)
+        hi = jnp.max(cc, axis=red) > start + (win_len - 1.0)
+        lo = jnp.min(cc, axis=red) < start
+        return jnp.any(hi | lo)
+
+    def clipped(c):
+        return jnp.clip(c, 0.0, ext - 1.0)
+
+    if tiles is not None:
+        gi, wy_t, gj, wx_t, wxu = tiles
+        wxu, wy_t = min(wxu, ext), min(wy_t, ext)
+        wx_t = min(wx_t, wxu)
+        cy = centers(prep["d2"], prep["F0"][:, 1], prep["F1"][:, 1])
+        cx = centers(prep["d1"], prep["F0"][:, 0], prep["F1"][:, 0])
+        bad = win_bad(cy, clipped(cy), ext, wy_t, group=gi) if wy_t < ext \
+            else jnp.asarray(False)
+        ccx = clipped(cx)
+        if wxu < ext:
+            bad = bad | win_bad(cx, ccx, ext, wxu)
+            x0u = ((jnp.clip(jnp.floor(jnp.min(cx, axis=(3, 4))) - 2.0,
+                             0, ext - wxu).astype(jnp.int32) // 8) * 8) \
+                .astype(jnp.float32)[:, :, :, None, None]
+            cx, ccx = cx - x0u, ccx - x0u
+        if wx_t < wxu:
+            bad = bad | win_bad(cx, ccx, wxu, wx_t, group=gj)
+        return bad
+
+    win_y, win_x = min(win[0], ext), min(win[1], ext)
+    if win_y >= ext and win_x >= ext:
+        return jnp.asarray(False)
+    cy = centers(prep["d2"], prep["F0"][:, 1], prep["F1"][:, 1])
+    cx = centers(prep["d1"], prep["F0"][:, 0], prep["F1"][:, 0])
+    bad_y = win_bad(cy, clipped(cy), ext, win_y) if win_y < ext \
+        else jnp.asarray(False)
+    bad_x = win_bad(cx, clipped(cx), ext, win_x) if win_x < ext \
+        else jnp.asarray(False)
+    return bad_y | bad_x
 
 
 def frustum_render(planes, decoder, cam2world, intrinsics, rendering_options,
-                   nrr, depth_steps=None, chunk=None, window=None,
+                   nrr, depth_steps=None, chunk=None, window=None, tiles=None,
                    compute_dtype=jnp.float32, fused_decoder=None):
     """Full gather-free render: (features [N,R,C], depth [N,R,1],
     weights [N,R,1]) — same contract as ImportanceRenderer.__call__.
@@ -360,18 +466,23 @@ def frustum_render(planes, decoder, cam2world, intrinsics, rendering_options,
                         + opts["depth_resolution_importance"])
     chunk = chunk or min(T, 8)
     assert T % chunk == 0
-    if window is None:
-        # Chunk-support-sized contraction windows (see slab_resample).  At
-        # the standard orbit with nrr<=128 the per-slab support spans
-        # <=236 texels (max |t*d|*(nrr-1)), and the window drifts
-        # ~|d*nrr + F1| * t_range * chunk/T texels across a chunk (~3.7/slab
-        # at T=96).  Sizes are MXU-tile multiples of 128 with slack;
-        # supports that scale past them (large nrr, chunks spanning a big
-        # t-range) fall back to the full contraction, as do callers outside
-        # the standard orbit passing window=(ext, ext).
+    if window is None and tiles is None:
+        # Contraction window defaults (see slab_resample).  At the standard
+        # orbit with nrr<=128 a 32-OUTPUT TILE's support spans <=60 texels
+        # (max |t*d|*gi + ~30 texels of per-chunk drift at chunk/T<=1/12;
+        # measured <=53 y / <=60 x across yaw +-0.6 / pitch +-0.4), and the
+        # chunk-wide union of x centers spans <=237 — so the tiled
+        # (gi=32, wy=96, gj=32, wx=96, union=256) sub-windows cover with
+        # >=25 texels of slack and cut the banded-matmul FLOPs 4x vs the
+        # single (256, 384) chunk window.  Supports that scale past the
+        # windows (large nrr, chunks spanning a big t-range) fall back to
+        # wider windows / the full contraction, as do callers outside the
+        # standard orbit passing window=(ext, ext).  Runtime coverage of
+        # whichever spec is active is enforced by the NaN-poison guard
+        # below.
         ext_full = S + 2 * MARGIN
-        if nrr <= 128 and chunk / T <= 1 / 12:
-            window = (256, 384)
+        if nrr <= 128 and nrr % 32 == 0 and chunk / T <= 1 / 12:
+            tiles = (32, 96, 32, 96, 256)
         elif nrr <= 128 and chunk / T <= 1 / 6:
             window = (384, 448)
         else:
@@ -407,7 +518,8 @@ def frustum_render(planes, decoder, cam2world, intrinsics, rendering_options,
     # the input-side dependency is free — the checker runs before the slab
     # loop starts.
     if bool(opts.get("frustum_window_check", True)):
-        bad = window_coverage_violation(prep, t_vals, nrr, window, chunk)
+        bad = window_coverage_violation(prep, t_vals, nrr, window, chunk,
+                                        tiles=tiles)
         t_vals = t_vals + jnp.where(bad, jnp.nan, 0.0) * 0.0
 
     if fused_decoder is not None:
@@ -418,7 +530,8 @@ def frustum_render(planes, decoder, cam2world, intrinsics, rendering_options,
         def one_chunk(t_chunk):
             # [N, TC, C, nrr, nrr] channels-first slab features
             f = sample_slabs_prepared(prep, t_chunk, nrr, compute_dtype,
-                                      win=window, channels_first=True)
+                                      win=window, tiles=tiles,
+                                      channels_first=True)
             return f.reshape(n, chunk, -1, r)
 
         feats = jax.lax.map(one_chunk, chunk_ts)       # [CH, N, TC, C, r]
@@ -432,7 +545,7 @@ def frustum_render(planes, decoder, cam2world, intrinsics, rendering_options,
 
     def decode_chunk(t_chunk):
         feats = sample_slabs_prepared(prep, t_chunk, nrr, compute_dtype,
-                                      win=window)
+                                      win=window, tiles=tiles)
         tc = t_chunk.shape[1]
         # run the decoder MLP in the compute dtype (bf16 in serving mode):
         # it is HBM-bandwidth bound ([pts, 64] hidden dominates), and the

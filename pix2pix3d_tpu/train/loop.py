@@ -280,8 +280,24 @@ def _save_fakes(G, params_ema, grid_z, grid_batch, grid_n, run_dir, cur_nimg,
     multi-view grid of the first seeds under yaw offsets."""
     batch = {"mask": jnp.asarray(grid_batch["mask"][:grid_n]),
              "pose": jnp.asarray(grid_batch["pose"][:grid_n])}
-    out = G(params_ema, jnp.asarray(grid_z), batch["pose"], batch,
-            noise_mode="const", det=True)
+
+    # Micro-batched snapshot renders: the training state (params + opt +
+    # EMA, ~2 GB) stays resident in HBM, so a full-grid G program can OOM
+    # where the training step itself fits (observed with the frustum
+    # sampler's sheared-texture temps at grid_n=8).  One image per program
+    # bounds the working set AND reuses a single compiled batch-1 program
+    # across the grid and every multi-view yaw.
+    def g_chunked(z_all, pose_all, batch_all, chunk=1):
+        outs = []
+        for i in range(0, z_all.shape[0], chunk):
+            sl = slice(i, i + chunk)
+            b = {"mask": batch_all["mask"][sl], "pose": batch_all["pose"][sl]}
+            outs.append(G(params_ema, z_all[sl], pose_all[sl], b,
+                          noise_mode="const", det=True))
+        return {k: np.concatenate([np.asarray(o[k]) for o in outs], axis=0)
+                for k in outs[0] if k != "planes"}
+
+    out = g_chunked(jnp.asarray(grid_z), batch["pose"], batch)
     tag = f"{cur_nimg // 1000:06d}"
 
     def emit(name, arr_uint8):
@@ -319,9 +335,9 @@ def _save_fakes(G, params_ema, grid_z, grid_batch, grid_n, run_dir, cur_nimg,
         pose_mv = pose_to_conditioning(
             jnp.asarray(c2w), jnp.asarray(grid_batch["pose"][0, 16:25])
             .reshape(3, 3))
-        mv = G(params_ema, jnp.asarray(grid_z[:n_mv]), pose_mv,
-               {"mask": batch["mask"][:n_mv], "pose": batch["pose"][:n_mv]},
-               noise_mode="const", det=True)
+        mv = g_chunked(jnp.asarray(grid_z[:n_mv]), pose_mv,
+                       {"mask": batch["mask"][:n_mv],
+                        "pose": batch["pose"][:n_mv]})
         views.append((np.asarray(mv["image"]) + 1) * 127.5)
     mv_grid = np.concatenate(views, axis=0)  # [n_yaws * n_mv, H, W, 3]
     save_image_grid(mv_grid, os.path.join(run_dir, f"fakes{tag}_mv.png"),

@@ -1,0 +1,160 @@
+"""Fast-path quality on TRAINED weights: frustum vs gather (VERDICT item 5).
+
+Round-2's frustum-quality evidence was random-init PSNR only; a trained
+generator concentrates density at surfaces — exactly where the regular-z
+slab interpolant could bite.  This script loads a trained checkpoint,
+renders the SAME (z, mask, pose) set through the parity gather sampler and
+the frustum serving path, and reports:
+
+  - raw/SR PSNR between the two paths,
+  - feature-space distance: Frechet distance between the two render sets
+    under the FID feature extractor (real Inception if
+    PIX2PIX3D_INCEPTION_NPZ is set, else the documented fixed-seed
+    random-conv fallback — valid for RELATIVE comparison, which is exactly
+    this use),
+  - per-class semantic agreement (mIoU between the two paths' argmax maps).
+
+Accept/reject gate for the serving default (documented in NOTES_PERF):
+PSNR(raw) > 20 dB, mIoU > 0.90, FID-proxy(frustum||gather) < 0.1 *
+FID-proxy(gather||reals-like shuffle) is not computable offline — instead
+the threshold is an absolute feature-distance budget relative to the
+gather path's own internal spread (split-half Frechet distance).
+
+Usage:
+    python scripts/eval_frustum_quality.py CKPT [n_images] [out_json]
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def frechet(mu1, cov1, mu2, cov2):
+    import scipy.linalg
+    m = np.square(mu1 - mu2).sum()
+    s, _ = scipy.linalg.sqrtm(np.dot(cov1, cov2), disp=False)
+    return float(np.real(m + np.trace(cov1 + cov2 - s * 2)))
+
+
+def mean_cov(feats):
+    mu = feats.mean(0)
+    cov = np.cov(feats, rowvar=False)
+    return mu, cov
+
+
+def miou(a, b, n_classes):
+    ious = []
+    for k in range(n_classes):
+        inter = np.logical_and(a == k, b == k).sum()
+        union = np.logical_or(a == k, b == k).sum()
+        if union > 0:
+            ious.append(inter / union)
+    return float(np.mean(ious))
+
+
+def psnr(a, b):
+    rmse = np.sqrt(((a - b) ** 2).mean())
+    span = a.max() - a.min() + 1e-9
+    return float(20 * np.log10(span / (rmse + 1e-12)))
+
+
+def main():
+    ckpt = sys.argv[1]
+    n_images = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    out_json = sys.argv[3] if len(sys.argv) > 3 else "/tmp/frustum_quality.json"
+
+    from pix2pix3d_tpu import config as cfg_mod
+    from pix2pix3d_tpu.models import build_generator
+    from pix2pix3d_tpu.train.checkpoint import load_checkpoint
+    from pix2pix3d_tpu.metrics.metric_utils import get_feature_extractor
+    from pix2pix3d_tpu.render.camera import (LookAtPoseSampler,
+                                             fov_to_intrinsics,
+                                             pose_to_conditioning)
+
+    state, _ = load_checkpoint(ckpt)
+    gc = json.load(open(ckpt + ".json"))["config"]["g_config"]
+    if isinstance(gc, str):
+        import ast
+        gc = ast.literal_eval(gc)
+    G = build_generator(**gc)
+    params = state["G_ema"] if "G_ema" in state else state["state"]["G_ema"]
+    res = gc["img_resolution"]
+    sem_ch = gc["semantic_channels"]
+    nrr = 128 if res >= 512 else 64
+
+    rng = np.random.RandomState(0)
+    batch = 4
+    n_images = (n_images // batch) * batch
+
+    def render_all(sampler):
+        G.rendering_kwargs.pop("sampler", None)
+        G.rendering_kwargs.pop("decoder_impl", None)
+        if sampler == "frustum":
+            G.rendering_kwargs["sampler"] = "frustum"
+            G.rendering_kwargs["frustum_depth_steps"] = 96
+            G.rendering_kwargs["frustum_chunk"] = 8
+        imgs, raws, sems = [], [], []
+        r = np.random.RandomState(7)  # same stream per sampler
+        for i in range(0, n_images, batch):
+            z = jnp.asarray(r.randn(batch, G.z_dim).astype(np.float32))
+            mask = jnp.asarray(r.randint(0, sem_ch, (batch, res, res, 1))
+                               .astype(np.float32))
+            yaw = np.pi / 2 + r.uniform(-0.4, 0.4)
+            pitch = np.pi / 2 + r.uniform(-0.25, 0.25)
+            c2w = LookAtPoseSampler.sample(None, yaw, pitch, [0, 0, -0.06],
+                                           radius=2.7, batch_size=batch)
+            pose = pose_to_conditioning(c2w, fov_to_intrinsics(18.837))
+            out = G(params, z, pose, {"mask": mask, "pose": pose},
+                    neural_rendering_resolution=nrr, noise_mode="const",
+                    det=True)
+            imgs.append(np.asarray(out["image"]))
+            raws.append(np.asarray(out["image_raw"]))
+            sems.append(np.argmax(np.asarray(out["semantic"]), axis=-1))
+        return (np.concatenate(imgs), np.concatenate(raws),
+                np.concatenate(sems))
+
+    img_g, raw_g, sem_g = render_all("gather")
+    img_f, raw_f, sem_f = render_all("frustum")
+
+    detector = get_feature_extractor()
+    to_u8 = lambda x: np.clip((x + 1) * 127.5, 0, 255).astype(np.float32)
+    feats_g = np.concatenate([detector(to_u8(img_g[i:i + 8]))
+                              for i in range(0, n_images, 8)])
+    feats_f = np.concatenate([detector(to_u8(img_f[i:i + 8]))
+                              for i in range(0, n_images, 8)])
+
+    fd_cross = frechet(*mean_cov(feats_g), *mean_cov(feats_f))
+    # internal spread of the parity path: split-half Frechet distance
+    h = n_images // 2
+    fd_self = frechet(*mean_cov(feats_g[:h]), *mean_cov(feats_g[h:]))
+
+    result = {
+        "checkpoint": ckpt,
+        "n_images": n_images,
+        "psnr_raw": psnr(raw_g, raw_f),
+        "psnr_sr": psnr(img_g, img_f),
+        "miou_semantic": miou(sem_g, sem_f, sem_ch),
+        "fd_proxy_cross": fd_cross,
+        "fd_proxy_selfhalf_gather": fd_self,
+        "fd_ratio": fd_cross / max(fd_self, 1e-9),
+        "detector": "inception" if os.environ.get("PIX2PIX3D_INCEPTION_NPZ")
+                    else "random-conv-proxy",
+        "accept": {
+            "psnr_raw > 20": psnr(raw_g, raw_f) > 20,
+            "miou > 0.90": miou(sem_g, sem_f, sem_ch) > 0.90,
+            "fd_ratio < 3": fd_cross / max(fd_self, 1e-9) < 3,
+        },
+    }
+    with open(out_json, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()
