@@ -467,23 +467,34 @@ def frustum_render(planes, decoder, cam2world, intrinsics, rendering_options,
     chunk = chunk or min(T, 8)
     assert T % chunk == 0
     if window is None and tiles is None:
-        # Contraction window defaults (see slab_resample).  At the standard
-        # orbit with nrr<=128 a 32-OUTPUT TILE's support spans <=60 texels
-        # (max |t*d|*gi + ~30 texels of per-chunk drift at chunk/T<=1/12;
-        # measured <=53 y / <=60 x across yaw +-0.6 / pitch +-0.4), and the
-        # chunk-wide union of x centers spans <=237 — so the tiled
-        # (gi=32, wy=96, gj=32, wx=96, union=256) sub-windows cover with
-        # >=25 texels of slack and cut the banded-matmul FLOPs 4x vs the
-        # single (256, 384) chunk window.  Supports that scale past the
-        # windows (large nrr, chunks spanning a big t-range) fall back to
-        # wider windows / the full contraction, as do callers outside the
-        # standard orbit passing window=(ext, ext).  Runtime coverage of
-        # whichever spec is active is enforced by the NaN-poison guard
-        # below.
+        # Contraction window defaults (see slab_resample).  A tile of
+        # gi = nrr/4 outputs has support spanning a CONSTANT fraction of
+        # the frustum footprint regardless of nrr (per-output texel step
+        # d scales as footprint/nrr, so tile span = t*d*gi + per-chunk
+        # drift; measured <=53 y / <=60 x at S=256 across yaw +-0.6 /
+        # pitch +-0.4 with chunk/T<=1/12), and the chunk-wide union of x
+        # centers spans <=237 — so the tiled (gi=nrr/4, wy=96, gj=nrr/4,
+        # wx=96, union=256) sub-windows cover with >=25 texels of slack
+        # and cut the banded-matmul FLOPs 4x vs the single (256, 384)
+        # chunk window.  gi MUST scale with nrr: a fixed gi=32 at nrr=64
+        # doubles the tile span (~106-120 texels > 96) and NaN-poisons
+        # every render via the coverage guard (found on the round-3
+        # trained checkpoint — random-init tests at nrr=128 never hit it).
+        # Supports that scale past the windows (chunks spanning a big
+        # t-range) fall back to wider windows / the full contraction, as
+        # do callers outside the standard orbit passing window=(ext, ext).
+        # Runtime coverage of whichever spec is active is enforced by the
+        # NaN-poison guard below.
+        # The calibrated specs below assume the seg2cat plane geometry
+        # (S=256, box_warp=1 — footprint in texels scales with S/box_warp,
+        # so other static geometry falls back to the exact full
+        # contraction; pass window=/tiles= explicitly after calibrating).
         ext_full = S + 2 * MARGIN
-        if nrr <= 128 and nrr % 32 == 0 and chunk / T <= 1 / 12:
-            tiles = (32, 96, 32, 96, 256)
-        elif nrr <= 128 and chunk / T <= 1 / 6:
+        std_geom = (S == 256 and float(opts["box_warp"]) == 1.0)
+        if std_geom and nrr <= 128 and nrr % 32 == 0 \
+                and chunk / T <= 1 / 12:
+            tiles = (nrr // 4, 96, nrr // 4, 96, 256)
+        elif std_geom and nrr <= 128 and chunk / T <= 1 / 6:
             window = (384, 448)
         else:
             window = (ext_full, ext_full)

@@ -35,17 +35,25 @@ import jax
 import jax.numpy as jnp
 
 
-def frechet(mu1, cov1, mu2, cov2):
-    import scipy.linalg
+def frechet(f1, f2):
+    """Frechet distance between Gaussian fits of two feature sets.
+
+    Uses the low-rank identity instead of scipy.sqrtm (45+ min on this
+    1-core host for 2048^2): with centered, 1/sqrt(n-1)-scaled features
+    x_i, cov_i = x_i^T x_i and the nonzero eigenvalues of cov1 @ cov2
+    equal those of the tiny [n1, n1] matrix (x1 x2^T)(x2 x1^T), so
+    tr sqrtm(cov1 cov2) = sum sqrt(eig).  Exact for any n, fast for
+    n << dim (64 samples vs 2048 feature dims here)."""
+    mu1, mu2 = f1.mean(0), f2.mean(0)
+    x1 = (f1 - mu1) / np.sqrt(len(f1) - 1)
+    x2 = (f2 - mu2) / np.sqrt(len(f2) - 1)
     m = np.square(mu1 - mu2).sum()
-    s, _ = scipy.linalg.sqrtm(np.dot(cov1, cov2), disp=False)
-    return float(np.real(m + np.trace(cov1 + cov2 - s * 2)))
-
-
-def mean_cov(feats):
-    mu = feats.mean(0)
-    cov = np.cov(feats, rowvar=False)
-    return mu, cov
+    tr1 = np.square(x1).sum()
+    tr2 = np.square(x2).sum()
+    cross = x1 @ x2.T                       # [n1, n2]
+    ev = np.linalg.eigvals(cross @ cross.T)  # eigvals of cov1 @ cov2
+    tr_sqrt = np.sqrt(np.clip(np.real(ev), 0, None)).sum()
+    return float(m + tr1 + tr2 - 2 * tr_sqrt)
 
 
 def miou(a, b, n_classes):
@@ -78,7 +86,8 @@ def main():
                                              pose_to_conditioning)
 
     state, _ = load_checkpoint(ckpt)
-    gc = json.load(open(ckpt + ".json"))["config"]["g_config"]
+    meta = json.load(open(ckpt + ".json"))
+    gc = meta["config"]["g_config"] if "config" in meta else meta["g_config"]
     if isinstance(gc, str):
         import ast
         gc = ast.literal_eval(gc)
@@ -99,8 +108,22 @@ def main():
             G.rendering_kwargs["sampler"] = "frustum"
             G.rendering_kwargs["frustum_depth_steps"] = 96
             G.rendering_kwargs["frustum_chunk"] = 8
+        print(f"[eval] rendering {n_images} images via {sampler}", flush=True)
         imgs, raws, sems = [], [], []
         r = np.random.RandomState(7)  # same stream per sampler
+
+        # jit the forward (one compile per sampler config): the eager path
+        # materializes every XLA-unfused intermediate in HBM and OOMs the
+        # chip on the frustum chain's sheared-texture temps.  `p` must be
+        # an ARGUMENT — closing over params inlines every weight into the
+        # HLO as literals (the remote compile helper rejects the body).
+        @jax.jit
+        def fwd(p, z, mask, pose):
+            out = G(p, z, pose, {"mask": mask, "pose": pose},
+                    neural_rendering_resolution=nrr, noise_mode="const",
+                    det=True)
+            return out["image"], out["image_raw"], out["semantic"]
+
         for i in range(0, n_images, batch):
             z = jnp.asarray(r.randn(batch, G.z_dim).astype(np.float32))
             mask = jnp.asarray(r.randint(0, sem_ch, (batch, res, res, 1))
@@ -110,9 +133,9 @@ def main():
             c2w = LookAtPoseSampler.sample(None, yaw, pitch, [0, 0, -0.06],
                                            radius=2.7, batch_size=batch)
             pose = pose_to_conditioning(c2w, fov_to_intrinsics(18.837))
-            out = G(params, z, pose, {"mask": mask, "pose": pose},
-                    neural_rendering_resolution=nrr, noise_mode="const",
-                    det=True)
+            image, image_raw, semantic = fwd(params, z, mask, pose)
+            out = {"image": image, "image_raw": image_raw,
+                   "semantic": semantic}
             imgs.append(np.asarray(out["image"]))
             raws.append(np.asarray(out["image_raw"]))
             sems.append(np.argmax(np.asarray(out["semantic"]), axis=-1))
@@ -129,10 +152,10 @@ def main():
     feats_f = np.concatenate([detector(to_u8(img_f[i:i + 8]))
                               for i in range(0, n_images, 8)])
 
-    fd_cross = frechet(*mean_cov(feats_g), *mean_cov(feats_f))
+    fd_cross = frechet(feats_g, feats_f)
     # internal spread of the parity path: split-half Frechet distance
     h = n_images // 2
-    fd_self = frechet(*mean_cov(feats_g[:h]), *mean_cov(feats_g[h:]))
+    fd_self = frechet(feats_g[:h], feats_g[h:])
 
     result = {
         "checkpoint": ckpt,

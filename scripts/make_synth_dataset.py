@@ -11,7 +11,14 @@ images, poses are exact, appearance varies smoothly with viewpoint.
 
 Layout matches ImageSegFolderDataset: imgs/ (+dataset.json) and masks/.
 
+`--cfg shapenet` switches the camera/scene geometry to the edge2car recipe
+(ref train.py:451-460: radius 1.7, pivot origin, box_warp 1.6, white
+background, full-orbit yaw, fov 45 deg == the reference apps' shapenet
+focal 1.7074) so an edge-conditioned run trains against cameras the
+shapenet rendering_kwargs actually cover.
+
 Usage: python scripts/make_synth_dataset.py OUTDIR [n_scenes] [views] [res]
+       [--edge] [--cfg afhq|shapenet]
 """
 import json
 import os
@@ -35,23 +42,26 @@ CLASS_COLORS = np.array([
 ], dtype=np.float32)
 
 
-def scene_params(rng, max_objs=4):
+def scene_params(rng, max_objs=4, scale=1.0):
     n_obj = rng.randint(2, max_objs + 1)
     objs = []
     classes = rng.choice(np.arange(1, N_CLASSES), size=n_obj, replace=False)
     for k in range(n_obj):
-        # keep every object inside the tri-plane box (box_warp=1 -> +-0.5)
-        center = rng.uniform(-0.24, 0.24, size=3)
-        radii = rng.uniform(0.10, 0.22, size=3)
+        # keep every object inside the tri-plane box
+        # (afhq box_warp=1 -> +-0.5; shapenet box_warp=1.6 -> +-0.8)
+        center = rng.uniform(-0.24, 0.24, size=3) * scale
+        radii = rng.uniform(0.10, 0.22, size=3) * scale
         shade = rng.uniform(0.7, 1.3)
         objs.append((center, radii, int(classes[k]), shade))
     bg_phase = rng.uniform(0, 2 * np.pi)
     return objs, bg_phase
 
 
-def render_view(objs, bg_phase, c2w, fov_deg, res):
-    """Analytic ellipsoid ray-trace -> (rgb uint8 [res,res,3], mask uint8)."""
-    focal = 1.0 / (2.0 * np.tan(np.radians(fov_deg) / 2.0))
+def render_view(objs, bg_phase, c2w, focal, res, white_bg=False):
+    """Analytic ellipsoid ray-trace -> (rgb uint8 [res,res,3], mask uint8).
+
+    `focal` is the NORMALIZED focal length (the dataset.json intrinsics
+    entry), so the analytic images match the labeled cameras exactly."""
     ii = (np.arange(res) + 0.5) / res
     u, v = np.meshgrid(ii, ii, indexing="xy")
     x = (u - 0.5) / focal
@@ -64,9 +74,13 @@ def render_view(objs, bg_phase, c2w, fov_deg, res):
     t_best = np.full((res, res), np.inf)
     cls = np.zeros((res, res), np.uint8)
     rgb = np.zeros((res, res, 3), np.float32)
-    # soft sky gradient keyed to world up + scene phase (viewpoint-consistent)
-    sky = 0.5 + 0.35 * np.sin(3.0 * d[..., 1] + bg_phase)
-    rgb[:] = (np.stack([0.18 * sky, 0.20 * sky, 0.28 * sky], -1)) * 255
+    if white_bg:
+        # shapenet-style renders composite onto white (white_back=True)
+        rgb[:] = 255.0
+    else:
+        # soft sky gradient keyed to world up + phase (viewpoint-consistent)
+        sky = 0.5 + 0.35 * np.sin(3.0 * d[..., 1] + bg_phase)
+        rgb[:] = (np.stack([0.18 * sky, 0.20 * sky, 0.28 * sky], -1)) * 255
 
     for center, radii, klass, shade in objs:
         oc = (o - center) / radii
@@ -108,6 +122,11 @@ def edge_sketch(cls):
 def main():
     args = [a for a in sys.argv[1:] if a != "--edge"]
     make_edges = "--edge" in sys.argv
+    cfg = "afhq"
+    if "--cfg" in args:
+        i = args.index("--cfg")
+        cfg = args[i + 1]
+        del args[i:i + 2]
     outdir = args[0]
     n_scenes = int(args[1]) if len(args) > 1 else 128
     views = int(args[2]) if len(args) > 2 else 4
@@ -124,17 +143,27 @@ def main():
     os.makedirs(img_dir, exist_ok=True)
     os.makedirs(mask_dir, exist_ok=True)
     rng = np.random.RandomState(7)
-    intr = fov_to_intrinsics(18.837)
+    if cfg == "shapenet":
+        # edge2car geometry (ref train.py:451-460 + apps' shapenet focal
+        # 1.7074 == fov 45 under the 1.414 convention): radius 1.7, pivot
+        # at the origin, full-orbit yaw, white background, box_warp 1.6.
+        intr = fov_to_intrinsics(45.0)
+        radius, scale, white_bg, yaw_span = 1.7, 1.7, True, np.pi
+    else:
+        intr = fov_to_intrinsics(18.837)
+        radius, scale, white_bg, yaw_span = 2.7, 1.0, False, 0.6
+    focal = float(np.asarray(intr)[0, 0])
     labels = []
     for s in range(n_scenes):
-        objs, bg_phase = scene_params(rng)
+        objs, bg_phase = scene_params(rng, scale=scale)
         for vi in range(views):
-            yaw = np.pi / 2 + rng.uniform(-0.6, 0.6)
+            yaw = np.pi / 2 + rng.uniform(-yaw_span, yaw_span)
             pitch = np.pi / 2 + rng.uniform(-0.35, 0.35)
             c2w = np.asarray(LookAtPoseSampler.sample(
-                None, yaw, pitch, [0.0, 0.0, 0.0], radius=2.7,
+                None, yaw, pitch, [0.0, 0.0, 0.0], radius=radius,
                 batch_size=1))[0]
-            rgb, cls = render_view(objs, bg_phase, c2w, 18.837, res)
+            rgb, cls = render_view(objs, bg_phase, c2w, focal, res,
+                                   white_bg=white_bg)
             name = f"s{s:04d}_v{vi}.png"
             PIL.Image.fromarray(rgb).save(os.path.join(img_dir, name))
             cond = edge_sketch(cls) if make_edges else cls

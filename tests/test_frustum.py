@@ -365,6 +365,64 @@ def test_tiled_slab_resample_matches_full(yaw, pitch):
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("nrr", [32, 64])
+def test_default_tiles_scale_with_nrr(nrr):
+    """Round-3 regression: the auto-selected tile spec must scale the
+    output-group with nrr.  At nrr=64 (the trained-checkpoint serving
+    config) a fixed gi=32 tile spans ~2x the texels of the nrr=128
+    calibration (per-output step = footprint/nrr), overflowing the
+    96-texel tile window — the coverage guard then NaN-poisoned EVERY
+    render (found on the round-3 trained checkpoint; random-init tests
+    at nrr=128 never hit it).  Default selection must stay finite AND
+    exact vs the full contraction across the orbit extremes."""
+    S, T, chunk, C = 256, 96, 8, 1
+    planes = jax.random.normal(jax.random.PRNGKey(3), (1, 3, S, S, C),
+                               jnp.float32)
+
+    def decoder(feats, dirs):
+        return {"rgb": feats[..., :1].reshape(feats.shape[0], -1, 1),
+                "sigma": feats.reshape(feats.shape[0], -1, C).sum(
+                    -1, keepdims=True)}
+
+    opts = {"ray_start": 2.25, "ray_end": 3.3, "box_warp": BW,
+            "white_back": False, "frustum_window_check": True}
+    for yaw, pitch in [(np.pi / 2, np.pi / 2),
+                       (np.pi / 2 + 0.6, np.pi / 2 - 0.4)]:
+        c2w, intr = _camera(yaw, pitch)
+        auto = frustum.frustum_render(planes, decoder, c2w, intr, opts,
+                                      nrr, depth_steps=T, chunk=chunk)
+        assert np.isfinite(np.asarray(auto[0])).all(), \
+            f"default window spec poisoned an in-envelope render (nrr={nrr})"
+        full = frustum.frustum_render(planes, decoder, c2w, intr, opts,
+                                      nrr, depth_steps=T, chunk=chunk,
+                                      window=(S + 256, S + 256))
+        for a, b in zip(auto, full):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+
+def test_nonstandard_geometry_falls_back_to_full():
+    """The calibrated window/tile specs assume S=256, box_warp=1; any
+    other static geometry (e.g. the shapenet edge2car box_warp=1.6) must
+    auto-select the exact full contraction and render finite."""
+    S, nrr, T, chunk, C = 64, 32, 96, 8, 1
+    planes = jax.random.normal(jax.random.PRNGKey(4), (1, 3, S, S, C),
+                               jnp.float32)
+
+    def decoder(feats, dirs):
+        return {"rgb": feats[..., :1].reshape(feats.shape[0], -1, 1),
+                "sigma": feats.reshape(feats.shape[0], -1, C).sum(
+                    -1, keepdims=True)}
+
+    opts = {"ray_start": 0.5, "ray_end": 2.9, "box_warp": 1.6,
+            "white_back": True, "frustum_window_check": True}
+    c2w, intr = _camera(np.pi / 2 + 0.9, np.pi / 2 - 0.3)
+    out, _, _ = frustum.frustum_render(planes, decoder, c2w, intr, opts,
+                                       nrr, depth_steps=T, chunk=chunk)
+    assert np.isfinite(np.asarray(out)).all(), \
+        "non-standard geometry default poisoned (should fall back to full)"
+
+
 def test_tiled_window_check_poisons_out_of_envelope():
     """The coverage guard understands the tiled sub-window spec: undersized
     tile windows NaN-poison the render; the default tiled spec in-envelope
