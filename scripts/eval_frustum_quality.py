@@ -32,6 +32,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
+
+if os.environ.get("PIX2PIX3D_CPU"):
+    # debugging/smoke-testing escape hatch: JAX_PLATFORMS=cpu alone cannot
+    # override this image's axon plugin (CLAUDE.md), only jax.config can
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 
@@ -102,12 +108,20 @@ def main():
     n_images = (n_images // batch) * batch
 
     def render_all(sampler):
+        from pix2pix3d_tpu.ops import precision
         G.rendering_kwargs.pop("sampler", None)
         G.rendering_kwargs.pop("decoder_impl", None)
+        precision.fast_f32(False)
         if sampler == "frustum":
+            # measure the FULL serving configuration — exactly what
+            # bench.py's headline runs (frustum slabs + fused Pallas
+            # decode/composite + bf16-compute convs), not a softer
+            # f32 frustum variant
             G.rendering_kwargs["sampler"] = "frustum"
             G.rendering_kwargs["frustum_depth_steps"] = 96
             G.rendering_kwargs["frustum_chunk"] = 8
+            G.rendering_kwargs["decoder_impl"] = "pallas"
+            precision.fast_f32(True)
         print(f"[eval] rendering {n_images} images via {sampler}", flush=True)
         imgs, raws, sems = [], [], []
         r = np.random.RandomState(7)  # same stream per sampler
