@@ -35,9 +35,14 @@ WARMUP = 2
 ITERS = 8
 
 
-def bench_config(sampler, decoder_impl, batch, iters=ITERS):
+def bench_config(sampler, decoder_impl, batch, iters=ITERS, g_fp16=0):
     """Build the flagship seg2cat generator in the given sampler config and
-    return measured images/sec on the current default device."""
+    return measured images/sec on the current default device.
+
+    g_fp16 > 0 runs that many trailing backbone resolutions in bf16
+    TENSORS (not just bf16-compute): halves the backbone's HBM streams.
+    Serving experiment only — quality must re-pass the
+    eval_frustum_quality gates before it becomes the headline default."""
     import jax
     import jax.numpy as jnp
     from pix2pix3d_tpu import config as cfg_mod
@@ -46,7 +51,8 @@ def bench_config(sampler, decoder_impl, batch, iters=ITERS):
                                              fov_to_intrinsics,
                                              pose_to_conditioning)
 
-    cfg = cfg_mod.preset_generator_config("seg2cat", sr_num_fp16_res=4)
+    cfg = cfg_mod.preset_generator_config("seg2cat", sr_num_fp16_res=4,
+                                          g_num_fp16_res=g_fp16)
     G = build_generator(**cfg)
     if sampler == "frustum":
         G.rendering_kwargs["sampler"] = "frustum"
@@ -104,6 +110,8 @@ def main():
     if "--batch" in sys.argv:
         batch = int(sys.argv[sys.argv.index("--batch") + 1])
     skip_parity = "--skip-parity" in sys.argv
+    g_fp16 = int(sys.argv[sys.argv.index("--g-fp16") + 1]) \
+        if "--g-fp16" in sys.argv else 0
 
     from pix2pix3d_tpu.ops.precision import fast_f32
     fast_f32(True)  # inference mode: bf16-compute convs (f32 accumulate)
@@ -118,7 +126,7 @@ def main():
         }))
         return
 
-    ips = bench_config("frustum", decoder_impl, batch)
+    ips = bench_config("frustum", decoder_impl, batch, g_fp16=g_fp16)
     out = {
         "metric": "seg2cat_512px_inference",
         "value": round(ips, 3),
