@@ -7,8 +7,19 @@ from `generate_video.py:127,137`.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
+
+if os.environ.get("PIX2PIX3D_CPU"):
+    # serving/debug escape hatch: this image's axon plugin re-asserts
+    # JAX_PLATFORMS, so only jax.config can force the CPU backend
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass  # backend already initialized; respect the caller's choice
+
 import jax.numpy as jnp
 
 from .. import config as cfg_mod
@@ -29,10 +40,31 @@ def build_app_generator(cfg_name, checkpoint=None, **overrides):
     """Build the generator for an app config; load weights if given.
 
     checkpoint: path to a reference `.pkl` (converted on load) or a native
-    `.ckpt` msgpack snapshot (the G_ema subtree is used).
+    `.ckpt` msgpack snapshot (the G_ema subtree is used).  Native
+    checkpoints written by the training loop carry a `<ckpt>.json` sidecar
+    with the exact g_config; when present it overrides the preset's
+    architecture (so apps drive ANY trained checkpoint, e.g. 128^2 bring-up
+    runs, not just released-model shapes), and the neural rendering
+    resolution scales with the checkpoint's output resolution.
     """
-    app = APP_PRESETS[cfg_name]
-    gcfg = cfg_mod.preset_generator_config(app["preset"], **overrides)
+    app = dict(APP_PRESETS[cfg_name])
+    gcfg = None
+    if checkpoint and not checkpoint.endswith(".pkl"):
+        import ast
+        import json
+        import os
+        sidecar = checkpoint + ".json"
+        if os.path.exists(sidecar):
+            meta = json.load(open(sidecar))
+            gc = (meta.get("config", meta) or {}).get("g_config")
+            if isinstance(gc, str):
+                gc = ast.literal_eval(gc)
+            if gc:
+                gcfg = gc
+                app["neural_rendering_resolution"] = \
+                    128 if gc["img_resolution"] >= 512 else 64
+    if gcfg is None:
+        gcfg = cfg_mod.preset_generator_config(app["preset"], **overrides)
     G = build_generator(**gcfg)
     params = G.init(jax.random.PRNGKey(0))
     if checkpoint:
