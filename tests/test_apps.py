@@ -66,3 +66,29 @@ def test_orbit_poses():
     poses = orbit_poses(APP_PRESETS["seg2cat"], n_frames=12)
     assert poses.shape == (12, 25)
     assert np.isfinite(poses).all()
+
+
+def test_app_generator_from_checkpoint_sidecar(tmp_path):
+    """Apps must honor the <ckpt>.json config sidecar the training loop
+    writes (`train/loop.py` save_checkpoint(config=dict(g_config=...))):
+    a checkpoint whose architecture differs from the APP_PRESETS shape
+    (here: the tiny 128^2 config) builds and loads without mismatch, and
+    the app's neural rendering resolution scales with the checkpoint."""
+    from tests.test_models import tiny_generator_config
+    from pix2pix3d_tpu.models import build_generator
+    from pix2pix3d_tpu.train.checkpoint import save_checkpoint
+    from pix2pix3d_tpu.apps.common import build_app_generator
+
+    cfg = tiny_generator_config()
+    G = build_generator(**cfg)
+    params = G.init(jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "tiny.ckpt")
+    save_checkpoint(ckpt, {"G_ema": params}, config=dict(g_config=cfg),
+                    step=0)
+
+    G2, params2, app = build_app_generator("seg2cat", checkpoint=ckpt)
+    assert G2.img_resolution == cfg["img_resolution"]  # not the 512 preset
+    assert app["neural_rendering_resolution"] == 64
+    a = jax.tree_util.tree_leaves(params)[0]
+    b = jax.tree_util.tree_leaves(params2)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
