@@ -53,6 +53,10 @@ def bench_config(sampler, decoder_impl, batch, iters=ITERS, g_fp16=0):
 
     cfg = cfg_mod.preset_generator_config("seg2cat", sr_num_fp16_res=4,
                                           g_num_fp16_res=g_fp16)
+    if g_fp16:
+        # run the 512^2 mask-encoder convs in bf16 tensors too (a measured
+        # serving hotspot: mapping stage 45 ms/batch-16, NOTES_PERF round 2)
+        cfg["mapping_kwargs"]["encoder_num_fp16_res"] = g_fp16
     G = build_generator(**cfg)
     if sampler == "frustum":
         G.rendering_kwargs["sampler"] = "frustum"

@@ -31,7 +31,7 @@ class _CondMappingBase:
                  num_layers=8, embed_features=None, layer_features=None,
                  activation="lrelu", lr_multiplier=0.01, w_avg_beta=0.995,
                  one_hot=True, encoder_channel_base=1, encoder_channel_max=512,
-                 **unused):
+                 encoder_num_fp16_res=0, **unused):
         self.z_dim = z_dim
         self.c_dim = c_dim
         self.in_resolution = in_resolution
@@ -43,6 +43,11 @@ class _CondMappingBase:
         self.one_hot = one_hot
         self.encoder_channel_base = encoder_channel_base
         self.encoder_channel_max = encoder_channel_max
+        # serving option: run the trailing N encoder resolutions in bf16
+        # tensors (params unchanged — compute dtype only, like the
+        # reference's D num_fp16_res); the 512^2 mask-encoder convs are a
+        # measured serving hotspot (NOTES_PERF round 2)
+        self.encoder_num_fp16_res = encoder_num_fp16_res
         self.embed_features = embed_features if embed_features is not None else w_dim
         self.layer_features = layer_features if layer_features is not None else w_dim
 
@@ -84,6 +89,9 @@ class MaskMappingNetwork(_CondMappingBase):
                                   img_channels=self.in_channels,
                                   channel_base=self.encoder_channel_base,
                                   channel_max=self.encoder_channel_max,
+                                  num_fp16_res=self.encoder_num_fp16_res,
+                                  conv_clamp=(256 if self.encoder_num_fp16_res
+                                              else None),
                                   model_kwargs={"num_ws": 1, "w_dim": ef,
                                                 "output_mode": "W"})
         self._make_fcs(features, activation, lr_multiplier)
@@ -141,6 +149,9 @@ class MaskMappingNetworkDisentangle(_CondMappingBase):
                                   img_channels=self.in_channels,
                                   channel_base=self.encoder_channel_base,
                                   channel_max=self.encoder_channel_max,
+                                  num_fp16_res=self.encoder_num_fp16_res,
+                                  conv_clamp=(256 if self.encoder_num_fp16_res
+                                              else None),
                                   model_kwargs={"num_ws": self.geometry_layer,
                                                 "w_dim": self.w_dim,
                                                 "output_mode": "W+"})
