@@ -35,7 +35,8 @@ WARMUP = 2
 ITERS = 8
 
 
-def bench_config(sampler, decoder_impl, batch, iters=ITERS, g_fp16=0):
+def bench_config(sampler, decoder_impl, batch, iters=ITERS, g_fp16=0,
+                 frustum_window=None):
     """Build the flagship seg2cat generator in the given sampler config and
     return measured images/sec on the current default device.
 
@@ -64,6 +65,12 @@ def bench_config(sampler, decoder_impl, batch, iters=ITERS, g_fp16=0):
         G.rendering_kwargs["frustum_chunk"] = 8
         if decoder_impl == "pallas":
             G.rendering_kwargs["decoder_impl"] = "pallas"
+        if frustum_window is not None:
+            # A/B override of the contraction-window spec: the round-3
+            # per-output-tile sub-windows cut slab FLOPs 4x on paper but
+            # were calibrated off-device (TPU outage); this flag lets the
+            # round-2 single chunk window be measured against them.
+            G.rendering_kwargs["frustum_window"] = frustum_window
     params = G.init(jax.random.PRNGKey(0))
 
     rng = np.random.RandomState(0)
@@ -116,6 +123,11 @@ def main():
     skip_parity = "--skip-parity" in sys.argv
     g_fp16 = int(sys.argv[sys.argv.index("--g-fp16") + 1]) \
         if "--g-fp16" in sys.argv else 0
+    # --window chunk|full: override the tiled sub-window spec for A/B
+    frustum_window = None
+    if "--window" in sys.argv:
+        w = sys.argv[sys.argv.index("--window") + 1]
+        frustum_window = {"chunk": (384, 448), "full": (512, 512)}[w]
 
     from pix2pix3d_tpu.ops.precision import fast_f32
     fast_f32(True)  # inference mode: bf16-compute convs (f32 accumulate)
@@ -130,7 +142,8 @@ def main():
         }))
         return
 
-    ips = bench_config("frustum", decoder_impl, batch, g_fp16=g_fp16)
+    ips = bench_config("frustum", decoder_impl, batch, g_fp16=g_fp16,
+                       frustum_window=frustum_window)
     out = {
         "metric": "seg2cat_512px_inference",
         "value": round(ips, 3),
