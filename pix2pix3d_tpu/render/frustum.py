@@ -491,10 +491,17 @@ def frustum_render(planes, decoder, cam2world, intrinsics, rendering_options,
         # contraction; pass window=/tiles= explicitly after calibrating).
         ext_full = S + 2 * MARGIN
         std_geom = (S == 256 and float(opts["box_warp"]) == 1.0)
-        if std_geom and nrr <= 128 and nrr % 32 == 0 \
-                and chunk / T <= 1 / 12:
-            tiles = (nrr // 4, 96, nrr // 4, 96, 256)
-        elif std_geom and nrr <= 128 and chunk / T <= 1 / 6:
+        if std_geom and nrr <= 128 and chunk / T <= 1 / 6:
+            # Single per-chunk window — measured FASTEST on the v5e.  The
+            # round-3 per-output-tile sub-windows (nrr//4, 96, nrr//4, 96,
+            # 256) cut the banded-matmul FLOPs 4x on paper but LOSE 30% of
+            # end-to-end serving throughput on-device (41.0 vs 58.9 img/s,
+            # round-4 A/B via `bench.py --window chunk`): the narrower
+            # 96-texel contractions drop MXU utilization and the extra
+            # dynamic slices/concats add HBM traffic that the single
+            # (384, 448) window's bigger matmuls overlap for free.  Tiles
+            # remain available via rendering_kwargs['frustum_tiles'] for
+            # geometries where the chunk-wide span exceeds the texture.
             window = (384, 448)
         else:
             window = (ext_full, ext_full)

@@ -336,8 +336,9 @@ def test_window_check_poisons_out_of_envelope():
                                        (np.pi / 2 + 0.6, np.pi / 2 - 0.4),
                                        (np.pi / 2 - 0.6, np.pi / 2 + 0.4)])
 def test_tiled_slab_resample_matches_full(yaw, pitch):
-    """The per-output-tile sub-window contraction (serving default,
-    tiles=(32, 96, 32, 96, 256)) is mathematically identical to the
+    """The per-output-tile sub-window contraction (opt-in via
+    frustum_tiles; the measured-faster chunk window is the default —
+    round-4 A/B) is mathematically identical to the
     full-ext contraction: each 32-output tile's window covers every
     nonzero hat tap at production geometry (S=256, nrr=128, seg2cat depth
     range), including the orbit extremes."""
