@@ -33,10 +33,12 @@ BATCH = 32  # best measured batch (fused kernel freed the batch-16 HBM ceiling)
 PARITY_BATCH = 8  # gather path OOMs at 16 (round-1 notes)
 WARMUP = 2
 ITERS = 8
+ROUNDS = 5  # timed rounds; report median (first round in a fresh process
+            # reads ~16% slow over the tunnel — see round-3 note below)
 
 
 def bench_config(sampler, decoder_impl, batch, iters=ITERS, g_fp16=0,
-                 frustum_window=None):
+                 frustum_window=None, frustum_tiles=None):
     """Build the flagship seg2cat generator in the given sampler config and
     return measured images/sec on the current default device.
 
@@ -66,11 +68,10 @@ def bench_config(sampler, decoder_impl, batch, iters=ITERS, g_fp16=0,
         if decoder_impl == "pallas":
             G.rendering_kwargs["decoder_impl"] = "pallas"
         if frustum_window is not None:
-            # A/B override of the contraction-window spec: the round-3
-            # per-output-tile sub-windows cut slab FLOPs 4x on paper but
-            # were calibrated off-device (TPU outage); this flag lets the
-            # round-2 single chunk window be measured against them.
+            # A/B override of the contraction-window spec (--window).
             G.rendering_kwargs["frustum_window"] = frustum_window
+        if frustum_tiles is not None:
+            G.rendering_kwargs["frustum_tiles"] = frustum_tiles
     params = G.init(jax.random.PRNGKey(0))
 
     rng = np.random.RandomState(0)
@@ -93,12 +94,14 @@ def bench_config(sampler, decoder_impl, batch, iters=ITERS, g_fp16=0,
         img, sem = forward(params, z, mask, pose)
     jax.block_until_ready(img)
 
-    # Two timed rounds, best-of: the FIRST measured program in a fresh
-    # process reads ~16% slow on this tunnel regardless of warmup-iteration
-    # count (measured round 3: 53.9 vs 63.4 img/s on byte-identical
-    # programs); the second round reflects steady-state serving throughput.
-    best = 0.0
-    for _ in range(2):
+    # ROUNDS timed rounds; report the MEDIAN plus the min/max spread.  The
+    # FIRST measured round in a fresh process reads ~16% slow on this
+    # tunnel regardless of warmup-iteration count (measured round 3: 53.9
+    # vs 63.4 img/s on byte-identical programs); the median over 5 rounds
+    # absorbs that plus run-to-run tunnel jitter that best-of-2 could not
+    # resolve (the unexplained r02->r03 -7.6% was within that noise).
+    samples = []
+    for _ in range(ROUNDS):
         t0 = time.perf_counter()
         for _ in range(iters):
             img, sem = forward(params, z, mask, pose)
@@ -107,8 +110,10 @@ def bench_config(sampler, decoder_impl, batch, iters=ITERS, g_fp16=0,
         # return early (CLAUDE.md) — touching a value guarantees completion
         float(np.asarray(img[0, 0, 0, 0]))
         dt = time.perf_counter() - t0
-        best = max(best, batch * iters / dt)
-    return best
+        samples.append(batch * iters / dt)
+    return {"median": float(np.median(samples)),
+            "min": float(np.min(samples)), "max": float(np.max(samples)),
+            "rounds": len(samples), "iters_per_round": iters}
 
 
 def main():
@@ -123,38 +128,73 @@ def main():
     skip_parity = "--skip-parity" in sys.argv
     g_fp16 = int(sys.argv[sys.argv.index("--g-fp16") + 1]) \
         if "--g-fp16" in sys.argv else 0
-    # --window chunk|full: override the tiled sub-window spec for A/B
-    frustum_window = None
+    # --window chunk|full|tiles: override the contraction-window spec for
+    # A/B runs (default: frustum_render's auto-selection, currently the
+    # single chunk window on the seg2cat geometry).
+    frustum_window = frustum_tiles = None
+    window_name = "auto"
     if "--window" in sys.argv:
-        w = sys.argv[sys.argv.index("--window") + 1]
-        frustum_window = {"chunk": (384, 448), "full": (512, 512)}[w]
+        try:
+            window_name = sys.argv[sys.argv.index("--window") + 1]
+        except IndexError:
+            sys.exit("usage: bench.py --window chunk|full|tiles")
+        from pix2pix3d_tpu.render.frustum import MARGIN
+        nrr = 128  # the flagship serving config this bench measures
+        if window_name == "chunk":
+            frustum_window = (384, 448)
+        elif window_name == "full":
+            # exact full contraction: the sheared texture extent
+            frustum_window = (256 + 2 * MARGIN, 256 + 2 * MARGIN)
+        elif window_name == "tiles":
+            # round-3 per-output-tile sub-windows; gi scales with nrr
+            frustum_tiles = (nrr // 4, 96, nrr // 4, 96, 256)
+        elif "x" in window_name:
+            # explicit HxW window, e.g. 256x384 (the round-2 spec)
+            try:
+                wy, wx = (int(v) for v in window_name.split("x"))
+            except ValueError:
+                sys.exit(f"bad --window {window_name!r}; expected HxW")
+            frustum_window = (wy, wx)
+        else:
+            sys.exit(f"unknown --window {window_name!r}; "
+                     "choices: chunk|full|tiles|HxW")
 
     from pix2pix3d_tpu.ops.precision import fast_f32
     fast_f32(True)  # inference mode: bf16-compute convs (f32 accumulate)
 
     if sampler == "gather":
-        ips = bench_config("gather", "ref", batch)
+        r = bench_config("gather", "ref", batch)
         print(json.dumps({
             "metric": "seg2cat_512px_inference_parity",
-            "value": round(ips, 3),
+            "value": round(r["median"], 3),
             "unit": "images/sec/chip",
-            "vs_baseline": round(ips / BASELINE_IPS, 3),
+            "vs_baseline": round(r["median"] / BASELINE_IPS, 3),
+            "spread": [round(r["min"], 3), round(r["max"], 3)],
+            "config": {"sampler": "gather", "batch": batch,
+                       "rounds": r["rounds"], "iters": r["iters_per_round"]},
         }))
         return
 
-    ips = bench_config("frustum", decoder_impl, batch, g_fp16=g_fp16,
-                       frustum_window=frustum_window)
+    r = bench_config("frustum", decoder_impl, batch, g_fp16=g_fp16,
+                     frustum_window=frustum_window,
+                     frustum_tiles=frustum_tiles)
     out = {
         "metric": "seg2cat_512px_inference",
-        "value": round(ips, 3),
+        "value": round(r["median"], 3),
         "unit": "images/sec/chip",
-        "vs_baseline": round(ips / BASELINE_IPS, 3),
+        "vs_baseline": round(r["median"] / BASELINE_IPS, 3),
+        "spread": [round(r["min"], 3), round(r["max"], 3)],
+        "config": {"sampler": "frustum", "decoder_impl": decoder_impl,
+                   "batch": batch, "window": window_name, "g_fp16": g_fp16,
+                   "fast_f32": True, "depth_steps": 96, "chunk": 8,
+                   "rounds": r["rounds"], "iters": r["iters_per_round"]},
     }
     if not skip_parity:
-        parity_ips = bench_config("gather", "ref", PARITY_BATCH, iters=4)
-        out["parity_value"] = round(parity_ips, 3)
-        out["parity_vs_baseline"] = round(parity_ips / BASELINE_IPS, 3)
+        pr = bench_config("gather", "ref", PARITY_BATCH, iters=4)
+        out["parity_value"] = round(pr["median"], 3)
+        out["parity_vs_baseline"] = round(pr["median"] / BASELINE_IPS, 3)
         out["parity_batch"] = PARITY_BATCH
+        out["parity_spread"] = [round(pr["min"], 3), round(pr["max"], 3)]
     print(json.dumps(out))
 
 

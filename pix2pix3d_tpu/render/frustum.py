@@ -467,41 +467,48 @@ def frustum_render(planes, decoder, cam2world, intrinsics, rendering_options,
     chunk = chunk or min(T, 8)
     assert T % chunk == 0
     if window is None and tiles is None:
-        # Contraction window defaults (see slab_resample).  A tile of
-        # gi = nrr/4 outputs has support spanning a CONSTANT fraction of
-        # the frustum footprint regardless of nrr (per-output texel step
-        # d scales as footprint/nrr, so tile span = t*d*gi + per-chunk
-        # drift; measured <=53 y / <=60 x at S=256 across yaw +-0.6 /
-        # pitch +-0.4 with chunk/T<=1/12), and the chunk-wide union of x
-        # centers spans <=237 — so the tiled (gi=nrr/4, wy=96, gj=nrr/4,
-        # wx=96, union=256) sub-windows cover with >=25 texels of slack
-        # and cut the banded-matmul FLOPs 4x vs the single (256, 384)
-        # chunk window.  gi MUST scale with nrr: a fixed gi=32 at nrr=64
-        # doubles the tile span (~106-120 texels > 96) and NaN-poisons
-        # every render via the coverage guard (found on the round-3
-        # trained checkpoint — random-init tests at nrr=128 never hit it).
-        # Supports that scale past the windows (chunks spanning a big
-        # t-range) fall back to wider windows / the full contraction, as
-        # do callers outside the standard orbit passing window=(ext, ext).
-        # Runtime coverage of whichever spec is active is enforced by the
-        # NaN-poison guard below.
-        # The calibrated specs below assume the seg2cat plane geometry
-        # (S=256, box_warp=1 — footprint in texels scales with S/box_warp,
-        # so other static geometry falls back to the exact full
-        # contraction; pass window=/tiles= explicitly after calibrating).
+        # Contraction window auto-selection (see slab_resample).  Default:
+        # a SINGLE per-chunk window on the calibrated seg2cat plane
+        # geometry (S=256, box_warp=1; footprint in texels scales with
+        # S/box_warp, so any other static geometry falls back to the
+        # exact full contraction — pass window=/tiles= explicitly after
+        # calibrating): (256, 384) for short chunks, (384, 448) up to
+        # chunk/T <= 1/6.  Both were measured to cover every chunk's
+        # hat-tap support across yaw +-0.6 / pitch +-0.4 at their
+        # respective chunk ratios; anything outside that envelope (or a
+        # caller passing window=(ext, ext)) gets the full contraction,
+        # and runtime coverage of whichever spec is active is enforced by
+        # the NaN-poison guard below.
+        # Per-output-tile sub-windows remain OPT-IN via
+        # rendering_kwargs['frustum_tiles'] = (gi, wy, gj, wx, union) for
+        # geometries where the chunk-wide span exceeds the texture.  If
+        # you enable them, gi MUST scale with nrr (use nrr//4): a tile of
+        # gi outputs spans ~footprint/nrr * gi texels, so a fixed gi=32
+        # calibrated at nrr=128 overflows the 96-texel tile window at
+        # nrr=64 and the coverage guard NaN-poisons every render (found
+        # on the round-3 trained checkpoint — random-init tests at
+        # nrr=128 never hit it).
         ext_full = S + 2 * MARGIN
         std_geom = (S == 256 and float(opts["box_warp"]) == 1.0)
-        if std_geom and nrr <= 128 and chunk / T <= 1 / 6:
-            # Single per-chunk window — measured FASTEST on the v5e.  The
-            # round-3 per-output-tile sub-windows (nrr//4, 96, nrr//4, 96,
-            # 256) cut the banded-matmul FLOPs 4x on paper but LOSE 30% of
-            # end-to-end serving throughput on-device (41.0 vs 58.9 img/s,
-            # round-4 A/B via `bench.py --window chunk`): the narrower
-            # 96-texel contractions drop MXU utilization and the extra
-            # dynamic slices/concats add HBM traffic that the single
-            # (384, 448) window's bigger matmuls overlap for free.  Tiles
-            # remain available via rendering_kwargs['frustum_tiles'] for
-            # geometries where the chunk-wide span exceeds the texture.
+        if std_geom and nrr <= 128 and chunk / T <= 1 / 12:
+            # Round-2 calibrated spec for short chunks (t-range <= 1/12 of
+            # the depth sweep): measured FASTEST on the v5e — 63.6 img/s
+            # vs 59.1 for (384, 448) at the bench config (round-4 A/B via
+            # `bench.py --window HxW`; the round-3 revert of the tile
+            # experiment mistakenly promoted the wider chunk/T<=1/6 spec
+            # and silently cost that 7%).
+            window = (256, 384)
+        elif std_geom and nrr <= 128 and chunk / T <= 1 / 6:
+            # Wider window for chunks spanning up to 1/6 of the sweep.
+            # The round-3 per-output-tile sub-windows (nrr//4, 96, nrr//4,
+            # 96, 256) cut the banded-matmul FLOPs 4x on paper but LOSE
+            # 30% of end-to-end serving throughput on-device (41.0 vs 58.9
+            # img/s): the narrower 96-texel contractions drop MXU
+            # utilization and the extra dynamic slices/concats add HBM
+            # traffic that a single window's bigger matmuls overlap for
+            # free.  Tiles remain available via
+            # rendering_kwargs['frustum_tiles'] for geometries where the
+            # chunk-wide span exceeds the texture.
             window = (384, 448)
         else:
             window = (ext_full, ext_full)

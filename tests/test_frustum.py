@@ -367,15 +367,19 @@ def test_tiled_slab_resample_matches_full(yaw, pitch):
 
 
 @pytest.mark.parametrize("nrr", [32, 64])
-def test_default_tiles_scale_with_nrr(nrr):
-    """Round-3 regression: the auto-selected tile spec must scale the
-    output-group with nrr.  At nrr=64 (the trained-checkpoint serving
-    config) a fixed gi=32 tile spans ~2x the texels of the nrr=128
-    calibration (per-output step = footprint/nrr), overflowing the
-    96-texel tile window — the coverage guard then NaN-poisoned EVERY
+def test_default_window_spec_covers_small_nrr(nrr):
+    """The auto-selected contraction spec (now the single (384, 448)
+    chunk window; tiles are opt-in via frustum_tiles) must stay finite
+    AND exact vs the full contraction across the orbit extremes at BOTH
+    nrr=32 and nrr=64, not just the nrr=128 calibration point.
+
+    History (round-3 regression, kept as the reason this test exists):
+    when tiles were the default, the output-group gi had to scale with
+    nrr — a fixed gi=32 tile at nrr=64 spans ~2x the texels of the
+    nrr=128 calibration (per-output step = footprint/nrr), overflowing
+    the 96-texel tile window, and the coverage guard NaN-poisoned EVERY
     render (found on the round-3 trained checkpoint; random-init tests
-    at nrr=128 never hit it).  Default selection must stay finite AND
-    exact vs the full contraction across the orbit extremes."""
+    at nrr=128 never hit it).  The opt-in tiles path keeps gi=nrr//4."""
     S, T, chunk, C = 256, 96, 8, 1
     planes = jax.random.normal(jax.random.PRNGKey(3), (1, 3, S, S, C),
                                jnp.float32)
