@@ -54,12 +54,15 @@ class FlatStats:
 
     def _asdict(self):
         if self._split is None:
-            a = np.asarray(self._flat)
+            if isinstance(self._flat, (list, tuple)):  # per-phase jit mode
+                a = np.concatenate([np.asarray(f) for f in self._flat])
+            else:
+                a = np.asarray(self._flat)
             out, off = {}, 0
             for k, n in self._spec:
                 out[k] = a[off:off + n]
                 off += n
-            assert off == a.size, (off, a.size, self._spec)
+            assert off == a.size, (off, a.size, list(self._spec))
             self._split = out
         return self._split
 
@@ -107,7 +110,8 @@ class Trainer:
     def __init__(self, loss: Pix2Pix3DLoss, *, g_lr=0.0025, d_lr=0.002,
                  betas=(0.0, 0.99), eps=1e-8, g_reg_interval: Optional[int] = 4,
                  d_reg_interval: Optional[int] = 16, mesh: Optional[Mesh] = None,
-                 axis="data", grad_accum_rounds=1, split_cross_view=True):
+                 axis="data", grad_accum_rounds=1, split_cross_view=True,
+                 jit_phases=False):
         self.loss = loss
         self.G = loss.G
         self.D = loss.D
@@ -128,6 +132,10 @@ class Trainer:
         # monolithic g_main+cross-view program crashes the v5e TPU worker
         # (see loss.cross_view_prep); values are identical either way
         self.split_cross_view = split_cross_view
+        # jit each phase as its own program instead of one monolith — see
+        # make_step.  Default off (the monolith is the TPU training mode);
+        # the CPU-mesh dryrun turns it on to fit the cold-compile budget.
+        self.jit_phases = jit_phases
         self._step_cache = {}
         self._cv_prep_cache = {}
 
@@ -189,13 +197,19 @@ class Trainer:
     def _device_step(self, state, batch, gen_z, gen_c, rng, ema_beta,
                      do_greg, do_dreg, do_dsemreg, blur_sigma, nrr,
                      aug_p=None, blur_size=None, raw_fade=None, cv_aux=None,
-                     stats_spec_out=None):
+                     stats_spec_out=None, only=None):
         """One full training iteration on one device's shard.
 
         `blur_sigma` is traced (a scalar array) when `blur_size` is a
         positive static int — the pair is forwarded to the loss as a tuple
         so one compiled program serves every σ within a kernel-width bucket
-        during the blur fade."""
+        during the blur fade.
+
+        `only`: run a single named phase instead of the whole iteration
+        (per-phase jit mode, `jit_phases=True`) — the rng derivation is
+        IDENTICAL either way (one split(6) up front, phase i uses rngs[i]),
+        so a sequence of per-phase programs computes the same update as
+        the monolith."""
         if blur_size is not None:
             blur_sigma = (blur_sigma, blur_size)
         axis = self.axis
@@ -224,19 +238,23 @@ class Trainer:
 
         dsem = state.get("D_semantic")
 
+        def on(name):
+            return only is None or only == name
+
         # --- Gmain
-        def gmain(p, r):
-            cv_kw = {} if cv_aux is None else {"cv_aux": mb(cv_aux, r)}
-            return loss.g_main(p, state["D"], dsem, mb(batch, r),
-                               mb(gen_z[0], r), mb(gen_c[0], r),
-                               jax.random.fold_in(rngs[0], r), blur_sigma, nrr,
-                               aug_p=aug_p, raw_fade=raw_fade, **cv_kw)
-        state["G"], state["opt_G"], s = self._phase_update(
-            gmain, state["G"], self.opt_g, state["opt_G"], 1.0, axis)
-        add_stats(s)
+        if on("gmain"):
+            def gmain(p, r):
+                cv_kw = {} if cv_aux is None else {"cv_aux": mb(cv_aux, r)}
+                return loss.g_main(p, state["D"], dsem, mb(batch, r),
+                                   mb(gen_z[0], r), mb(gen_c[0], r),
+                                   jax.random.fold_in(rngs[0], r), blur_sigma,
+                                   nrr, aug_p=aug_p, raw_fade=raw_fade, **cv_kw)
+            state["G"], state["opt_G"], s = self._phase_update(
+                gmain, state["G"], self.opt_g, state["opt_G"], 1.0, axis)
+            add_stats(s)
 
         # --- Greg (density regularization)
-        if do_greg:
+        if do_greg and on("greg"):
             def greg(p, r):
                 return loss.g_reg(p, mb(batch, r), mb(gen_z[1], r),
                                   jax.random.fold_in(rngs[1], r))
@@ -246,23 +264,24 @@ class Trainer:
             add_stats(s)
 
         # --- Dmain (also carries the w_avg update, ref loss.py:846)
-        def dmain(p, r):
-            l, (s, aux) = loss.d_main(p, state["G"], mb(batch, r),
-                                      mb(gen_z[2], r), mb(gen_c[2], r),
-                                      jax.random.fold_in(rngs[2], r),
-                                      blur_sigma, nrr, aug_p=aug_p,
-                                      raw_fade=raw_fade)
-            # reduce ws inside the round so accumulation can sum it
-            return l, dict(s, **{"_ws_mean": jnp.mean(aux["ws"], axis=0)
-                                 / rounds})
-        state["D"], state["opt_D"], s = self._phase_update(
-            dmain, state["D"], self.opt_d, state["opt_D"], 1.0, axis)
-        ws_mean = s.pop("_ws_mean")
-        add_stats(s)
-        state["G"] = self._apply_w_avg(state["G"], ws_mean, axis)
+        if on("dmain"):
+            def dmain(p, r):
+                l, (s, aux) = loss.d_main(p, state["G"], mb(batch, r),
+                                          mb(gen_z[2], r), mb(gen_c[2], r),
+                                          jax.random.fold_in(rngs[2], r),
+                                          blur_sigma, nrr, aug_p=aug_p,
+                                          raw_fade=raw_fade)
+                # reduce ws inside the round so accumulation can sum it
+                return l, dict(s, **{"_ws_mean": jnp.mean(aux["ws"], axis=0)
+                                     / rounds})
+            state["D"], state["opt_D"], s = self._phase_update(
+                dmain, state["D"], self.opt_d, state["opt_D"], 1.0, axis)
+            ws_mean = s.pop("_ws_mean")
+            add_stats(s)
+            state["G"] = self._apply_w_avg(state["G"], ws_mean, axis)
 
         # --- Dreg (R1)
-        if do_dreg and loss.r1_gamma > 0:
+        if do_dreg and loss.r1_gamma > 0 and on("dreg"):
             def dreg(p, r):
                 return loss.d_r1(p, mb(batch, r),
                                  jax.random.fold_in(rngs[3], r), blur_sigma, nrr,
@@ -274,31 +293,35 @@ class Trainer:
 
         # --- D_semantic phases
         if dsem is not None:
-            def dsmain(p, r):
-                return loss.d_semantic_main(p, state["G"], mb(batch, r),
-                                            mb(gen_z[3], r), mb(gen_c[3], r),
-                                            jax.random.fold_in(rngs[4], r),
-                                            blur_sigma, nrr, aug_p=aug_p,
-                                            raw_fade=raw_fade)
-            state["D_semantic"], state["opt_D_semantic"], s = self._phase_update(
-                dsmain, state["D_semantic"], self.opt_dsem,
-                state["opt_D_semantic"], 1.0, axis)
-            add_stats(s)
+            if on("dsmain"):
+                def dsmain(p, r):
+                    return loss.d_semantic_main(p, state["G"], mb(batch, r),
+                                                mb(gen_z[3], r), mb(gen_c[3], r),
+                                                jax.random.fold_in(rngs[4], r),
+                                                blur_sigma, nrr, aug_p=aug_p,
+                                                raw_fade=raw_fade)
+                state["D_semantic"], state["opt_D_semantic"], s = \
+                    self._phase_update(dsmain, state["D_semantic"],
+                                       self.opt_dsem, state["opt_D_semantic"],
+                                       1.0, axis)
+                add_stats(s)
 
-            if do_dsemreg and loss.r1_gamma > 0:
+            if do_dsemreg and loss.r1_gamma > 0 and on("dsreg"):
                 def dsreg(p, r):
                     return loss.d_semantic_r1(p, mb(batch, r),
                                               jax.random.fold_in(rngs[5], r),
                                               blur_sigma, nrr, aug_p=aug_p,
                                               raw_fade=raw_fade)
-                state["D_semantic"], state["opt_D_semantic"], s = self._phase_update(
-                    dsreg, state["D_semantic"], self.opt_dsem,
-                    state["opt_D_semantic"], float(self.d_reg_interval), axis)
+                state["D_semantic"], state["opt_D_semantic"], s = \
+                    self._phase_update(dsreg, state["D_semantic"],
+                                       self.opt_dsem, state["opt_D_semantic"],
+                                       float(self.d_reg_interval), axis)
                 add_stats(s)
 
         # --- EMA (ref training_loop.py:549-559)
-        state["G_ema"] = ema_update(state["G_ema"], state["G"], ema_beta)
-        state["G_ema"] = copy_buffers(state["G_ema"], state["G"])
+        if on("ema"):
+            state["G_ema"] = ema_update(state["G_ema"], state["G"], ema_beta)
+            state["G_ema"] = copy_buffers(state["G_ema"], state["G"])
 
         # ONE collective for all stat moments (vs one psum per metric) AND
         # one flat device->host transfer per step: the host splits the
@@ -312,7 +335,9 @@ class Trainer:
             stats_spec_out.extend(
                 (k, int(np.prod(np.shape(v), dtype=np.int64)))
                 for k, v in sorted(stats.items()))
-        return state, jax.lax.psum(flat_stats, axis)
+        if flat_stats.size:  # the ema-only program has no stats to reduce
+            flat_stats = jax.lax.psum(flat_stats, axis)
+        return state, flat_stats
 
     def _apply_w_avg(self, params_g, ws_mean, axis):
         """Update the conditional mapping's w_avg from the D-phase batch-mean
@@ -332,17 +357,10 @@ class Trainer:
         params_g["backbone"]["mapping"] = dict(mp, w_avg=new_avg)
         return params_g
 
-    def make_step(self, do_greg, do_dreg, do_dsemreg, blur_size, nrr):
-        """Build (and cache) the jitted shard_map'd step for one combination
-        of static schedule values.
-
-        Only the blur KERNEL WIDTH is static; σ itself is a traced scalar
-        argument, so a full blur fade (σ changing every step, e.g. seg2cat
-        Δσ≈0.0016/step) compiles O(blur_init·3) programs, not thousands."""
-        key = (do_greg, do_dreg, do_dsemreg, blur_size, nrr)
-        if key in self._step_cache:
-            return self._step_cache[key]
-
+    def _build_program(self, do_greg, do_dreg, do_dsemreg, blur_size, nrr,
+                       only=None):
+        """One jitted shard_map'd program: the whole iteration (only=None)
+        or a single named phase (per-phase jit mode)."""
         axis = self.axis
         rep = P()
         data = P(axis)           # shard batch dim
@@ -351,7 +369,7 @@ class Trainer:
         stats_spec = []
         fn = functools.partial(self._device_step, do_greg=do_greg,
                                do_dreg=do_dreg, do_dsemreg=do_dsemreg,
-                               nrr=nrr, stats_spec_out=stats_spec)
+                               nrr=nrr, stats_spec_out=stats_spec, only=only)
 
         # Only thread dynamic scalars (blur σ, raw_fade, ADA p) through the
         # traced signature when the corresponding feature is active — keeps
@@ -404,7 +422,69 @@ class Trainer:
         # in place instead of double-buffered (saves the full state size in
         # HBM per step; callers all rebind `state` from the return).
         jitted = jax.jit(sharded, donate_argnums=(0,))
-        self._step_cache[key] = (jitted, stats_spec)
+        return jitted, stats_spec
+
+    def _phase_names(self, do_greg, do_dreg, do_dsemreg):
+        names = ["gmain"]
+        if do_greg:
+            names.append("greg")
+        names.append("dmain")
+        if do_dreg and self.loss.r1_gamma > 0:
+            names.append("dreg")
+        if self.D_semantic is not None:
+            names.append("dsmain")
+            if do_dsemreg and self.loss.r1_gamma > 0:
+                names.append("dsreg")
+        names.append("ema")
+        return names
+
+    def make_step(self, do_greg, do_dreg, do_dsemreg, blur_size, nrr):
+        """Build (and cache) the jitted step for one combination of static
+        schedule values.
+
+        Only the blur KERNEL WIDTH is static; σ itself is a traced scalar
+        argument, so a full blur fade (σ changing every step, e.g. seg2cat
+        Δσ≈0.0016/step) compiles O(blur_init·3) programs, not thousands.
+
+        Monolith mode (default): ONE program runs every phase + EMA, so
+        XLA fuses and overlaps across phases — the TPU training config.
+        Per-phase mode (`jit_phases=True`): one program per phase, chained
+        host-side on the full donated state — mathematically identical
+        (same rng split, same update order; pass-through leaves alias
+        through).  Programs are ~6x smaller, which keeps a COLD compile of
+        the whole step within the driver's dryrun budget on the 1-core
+        CPU-mesh host (the monolith compiles 15-19 min there; see
+        __graft_entry__.dryrun_multichip)."""
+        key = (do_greg, do_dreg, do_dsemreg, blur_size, nrr)
+        if key in self._step_cache:
+            return self._step_cache[key]
+
+        if not self.jit_phases:
+            self._step_cache[key] = self._build_program(
+                do_greg, do_dreg, do_dsemreg, blur_size, nrr)
+            return self._step_cache[key]
+
+        programs = [self._build_program(do_greg, do_dreg, do_dsemreg,
+                                        blur_size, nrr, only=name)
+                    for name in self._phase_names(do_greg, do_dreg,
+                                                  do_dsemreg)]
+
+        class _ChainSpec:
+            """Lazy view over the per-phase stat specs: each program's spec
+            list is filled at ITS first trace, so chain at iteration time."""
+            def __init__(self, parts):
+                self._parts = parts
+
+            def __iter__(self):
+                return (kv for p in self._parts for kv in p)
+
+        def run(state, *rest):
+            flats = []
+            for prog, _ in programs:
+                state, flat = prog(state, *rest)
+                flats.append(flat)
+            return state, flats
+        self._step_cache[key] = (run, _ChainSpec([s for _, s in programs]))
         return self._step_cache[key]
 
     def _cv_prep_device(self, state, batch, gen_z, gen_c, rng, nrr):

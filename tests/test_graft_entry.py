@@ -1,11 +1,13 @@
 """Pin the driver entry points' tiny config to the test suite's.
 
-`__graft_entry__.dryrun_multichip` relies on hitting the persistent compile
-cache that `tests/test_train_step.py` populates (a cold 8-device CPU-mesh
-compile is 15-19 min on this host and would time out the driver).  A cache
-hit requires the traced program to be byte-identical, which requires the
-generator config, discriminator configs, and loss hyperparameters to match
-exactly.  These tests fail loudly if the two drift apart.
+`__graft_entry__.dryrun_multichip` runs the trainer in per-phase jit mode
+(its own cold-compile fix — see Trainer.make_step), so it no longer NEEDS
+the monolithic program cache `tests/test_train_step.py` populates.  The
+configs are still pinned to each other: the tiny shapes were sized to
+this host's compile budget, the per-phase/monolith equivalence test
+(`test_jit_phases_matches_monolith`) validates exactly this config, and
+`scripts/warm_dryrun.sh` pre-warms whatever the dryrun traces — drift
+between the two would silently invalidate all three.
 """
 
 import sys

@@ -138,6 +138,39 @@ def test_grad_accumulation_runs():
 
 
 @pytest.mark.slow
+def test_jit_phases_matches_monolith():
+    """Per-phase jit mode (`jit_phases=True`, the dryrun's cold-compile
+    fix) must compute the same update as the monolithic step: same rng
+    split, same phase order, same optimizer math.  Only fusion boundaries
+    differ, so compare with a tight float tolerance rather than bitwise."""
+    G, D, D_sem, loss = tiny_setup()
+    batch, gen_z, gen_c = make_batch(rng_seed=4)
+
+    results = {}
+    for mode in (False, True):
+        trainer = Trainer(loss, mesh=make_mesh(), g_reg_interval=4,
+                          d_reg_interval=16, jit_phases=mode)
+        state = trainer.init_state(jax.random.PRNGKey(7))
+        state, stats = trainer.step(state, batch, gen_z, gen_c,
+                                    jax.random.PRNGKey(8), step_idx=0,
+                                    cur_nimg=0, batch_size=B)
+        results[mode] = (jax.tree_util.tree_map(np.asarray, state),
+                         {k: np.asarray(v) for k, v in stats.items()})
+
+    (s_mono, st_mono), (s_phase, st_phase) = results[False], results[True]
+    assert sorted(st_mono) == sorted(st_phase)
+    for k in st_mono:
+        np.testing.assert_allclose(st_phase[k], st_mono[k], rtol=1e-4,
+                                    atol=1e-5, err_msg=k)
+    flat_m = jax.tree_util.tree_leaves_with_path(s_mono)
+    flat_p = dict(jax.tree_util.tree_flatten_with_path(s_phase)[0])
+    for path, leaf in flat_m:
+        np.testing.assert_allclose(
+            flat_p[path], leaf, rtol=1e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path))
+
+
+@pytest.mark.slow
 def test_full_train_step_frustum_sampler():
     """Training mode of the gather-free frustum renderer (--sampler
     frustum): all 6 phases differentiate through the slab chain (shears,
