@@ -38,7 +38,8 @@ ROUNDS = 5  # timed rounds; report median (first round in a fresh process
 
 
 def bench_config(sampler, decoder_impl, batch, iters=ITERS, g_fp16=0,
-                 frustum_window=None, frustum_tiles=None):
+                 frustum_window=None, frustum_tiles=None, dual_sr=False,
+                 depth_steps=96):
     """Build the flagship seg2cat generator in the given sampler config and
     return measured images/sec on the current default device.
 
@@ -63,7 +64,7 @@ def bench_config(sampler, decoder_impl, batch, iters=ITERS, g_fp16=0,
     G = build_generator(**cfg)
     if sampler == "frustum":
         G.rendering_kwargs["sampler"] = "frustum"
-        G.rendering_kwargs["frustum_depth_steps"] = 96
+        G.rendering_kwargs["frustum_depth_steps"] = depth_steps
         G.rendering_kwargs["frustum_chunk"] = 8
         if decoder_impl == "pallas":
             G.rendering_kwargs["decoder_impl"] = "pallas"
@@ -72,6 +73,9 @@ def bench_config(sampler, decoder_impl, batch, iters=ITERS, g_fp16=0,
             G.rendering_kwargs["frustum_window"] = frustum_window
         if frustum_tiles is not None:
             G.rendering_kwargs["frustum_tiles"] = frustum_tiles
+    if dual_sr:
+        # run rgb+semantic SR as one vmapped/grouped program (exact)
+        G.rendering_kwargs["dual_sr"] = True
     params = G.init(jax.random.PRNGKey(0))
 
     rng = np.random.RandomState(0)
@@ -128,6 +132,12 @@ def main():
     skip_parity = "--skip-parity" in sys.argv
     g_fp16 = int(sys.argv[sys.argv.index("--g-fp16") + 1]) \
         if "--g-fp16" in sys.argv else 0
+    dual_sr = "--dual-sr" in sys.argv
+    # --depth N: frustum slab count (default 96, matching the reference's
+    # 48+48 sample count; fewer slabs = coarser depth quadrature — a
+    # serving knob that must re-pass the quality gates before defaulting)
+    depth_steps = int(sys.argv[sys.argv.index("--depth") + 1]) \
+        if "--depth" in sys.argv else 96
     # --window chunk|full|tiles: override the contraction-window spec for
     # A/B runs (default: frustum_render's auto-selection, currently the
     # single chunk window on the seg2cat geometry).
@@ -177,7 +187,8 @@ def main():
 
     r = bench_config("frustum", decoder_impl, batch, g_fp16=g_fp16,
                      frustum_window=frustum_window,
-                     frustum_tiles=frustum_tiles)
+                     frustum_tiles=frustum_tiles, dual_sr=dual_sr,
+                     depth_steps=depth_steps)
     out = {
         "metric": "seg2cat_512px_inference",
         "value": round(r["median"], 3),
@@ -186,7 +197,8 @@ def main():
         "spread": [round(r["min"], 3), round(r["max"], 3)],
         "config": {"sampler": "frustum", "decoder_impl": decoder_impl,
                    "batch": batch, "window": window_name, "g_fp16": g_fp16,
-                   "fast_f32": True, "depth_steps": 96, "chunk": 8,
+                   "dual_sr": dual_sr, "fast_f32": True,
+                   "depth_steps": depth_steps, "chunk": 8,
                    "rounds": r["rounds"], "iters": r["iters_per_round"]},
     }
     if not skip_parity:

@@ -26,7 +26,8 @@ from ..nn.cond_mapping import (
     EdgeMappingNetwork,
     EdgeMappingNetworkDisentangle,
 )
-from ..nn.superresolution import build_superresolution
+from ..nn.superresolution import (build_superresolution, dual_sr_compatible,
+                                  dual_superresolution)
 from ..ops.grid_sample import grid_sample_2d
 from ..render.ray_sampler import sample_rays
 from ..render.renderer import ImportanceRenderer
@@ -426,17 +427,27 @@ class TriPlaneSemanticEntangleGenerator(_TriPlaneBase):
         semantic_feature_image = feature_image[..., half:]
 
         rgb_image = rgb_feature_image[..., :3]
-        sr_image = self.superresolution(
-            params["superresolution"], rgb_image, rgb_feature_image, ws,
-            noise_mode=self.rendering_kwargs["superresolution_noise_mode"],
-            rng=rngs[2], force_fp32=force_fp32)
-
         semantic_image = semantic_feature_image[..., :self.semantic_channels]
-        sr_semantic = self.superresolution_semantic(
-            params["superresolution_semantic"], semantic_image,
-            semantic_feature_image, ws,
-            noise_mode=self.rendering_kwargs["superresolution_noise_mode"],
-            rng=rngs[3], force_fp32=force_fp32)
+        sr_noise_mode = self.rendering_kwargs["superresolution_noise_mode"]
+        if self.rendering_kwargs.get("dual_sr") and dual_sr_compatible(
+                self.superresolution, self.superresolution_semantic):
+            # serving fast path: both SR stacks in one vmapped program
+            # (grouped convs) — see nn/superresolution.dual_superresolution
+            sr_image, sr_semantic = dual_superresolution(
+                self.superresolution, self.superresolution_semantic,
+                params["superresolution"], params["superresolution_semantic"],
+                rgb_image, rgb_feature_image,
+                semantic_image, semantic_feature_image, ws,
+                noise_mode=sr_noise_mode, rngs=(rngs[2], rngs[3]),
+                force_fp32=force_fp32)
+        else:
+            sr_image = self.superresolution(
+                params["superresolution"], rgb_image, rgb_feature_image, ws,
+                noise_mode=sr_noise_mode, rng=rngs[2], force_fp32=force_fp32)
+            sr_semantic = self.superresolution_semantic(
+                params["superresolution_semantic"], semantic_image,
+                semantic_feature_image, ws,
+                noise_mode=sr_noise_mode, rng=rngs[3], force_fp32=force_fp32)
 
         return {"image": sr_image, "image_raw": rgb_image,
                 "image_depth": depth_image, "semantic": sr_semantic,

@@ -97,7 +97,6 @@ def main():
     if isinstance(gc, str):
         import ast
         gc = ast.literal_eval(gc)
-    G = build_generator(**gc)
     params = state["G_ema"] if "G_ema" in state else state["state"]["G_ema"]
     res = gc["img_resolution"]
     sem_ch = gc["semantic_channels"]
@@ -109,18 +108,38 @@ def main():
 
     def render_all(sampler):
         from pix2pix3d_tpu.ops import precision
-        G.rendering_kwargs.pop("sampler", None)
-        G.rendering_kwargs.pop("decoder_impl", None)
         precision.fast_f32(False)
+        cfg = json.loads(json.dumps(gc))  # deep copy; checkpoint params fit
         if sampler == "frustum":
             # measure the FULL serving configuration — exactly what
             # bench.py's headline runs (frustum slabs + fused Pallas
             # decode/composite + bf16-compute convs), not a softer
-            # f32 frustum variant
+            # f32 frustum variant.  PIX2PIX3D_EVAL_GFP16 / _DUAL_SR gate
+            # the additional serving knobs (`bench.py --g-fp16/--dual-sr`)
+            # so their quality is measured BEFORE they become defaults
+            # (fp16-res counts change compute dtypes only, never param
+            # shapes, so the same checkpoint params apply).
+            gfp16 = int(os.environ.get("PIX2PIX3D_EVAL_GFP16", "0"))
+            if gfp16:
+                # gc is the full build_generator kwargs dict (config
+                # sidecar), where g_num_fp16_res has already been lowered
+                # to synthesis kwargs — mirror config.py:107-108
+                cfg["num_fp16_res"] = gfp16
+                cfg["conv_clamp"] = 256
+                cfg.setdefault("mapping_kwargs", {})
+                cfg["mapping_kwargs"]["encoder_num_fp16_res"] = gfp16
+        G = build_generator(**cfg)
+        G.rendering_kwargs.pop("sampler", None)
+        G.rendering_kwargs.pop("decoder_impl", None)
+        G.rendering_kwargs.pop("dual_sr", None)
+        if sampler == "frustum":
             G.rendering_kwargs["sampler"] = "frustum"
-            G.rendering_kwargs["frustum_depth_steps"] = 96
+            G.rendering_kwargs["frustum_depth_steps"] = int(
+                os.environ.get("PIX2PIX3D_EVAL_DEPTH", "96"))
             G.rendering_kwargs["frustum_chunk"] = 8
             G.rendering_kwargs["decoder_impl"] = "pallas"
+            if os.environ.get("PIX2PIX3D_EVAL_DUAL_SR"):
+                G.rendering_kwargs["dual_sr"] = True
             precision.fast_f32(True)
         print(f"[eval] rendering {n_images} images via {sampler}", flush=True)
         imgs, raws, sems = [], [], []
@@ -174,6 +193,12 @@ def main():
     result = {
         "checkpoint": ckpt,
         "n_images": n_images,
+        "backend": jax.default_backend(),
+        "serving_config": {
+            "depth_steps": int(os.environ.get("PIX2PIX3D_EVAL_DEPTH", "96")),
+            "g_fp16": int(os.environ.get("PIX2PIX3D_EVAL_GFP16", "0")),
+            "dual_sr": bool(os.environ.get("PIX2PIX3D_EVAL_DUAL_SR")),
+        },
         "psnr_raw": psnr(raw_g, raw_f),
         "psnr_sr": psnr(img_g, img_f),
         "miou_semantic": miou(sem_g, sem_f, sem_ch),
