@@ -49,7 +49,7 @@ def main():
     p.add_argument("--dlr", type=float, default=0.002)
     p.add_argument("--map-depth", dest="map_depth", type=int, default=2)
     p.add_argument("--mbstd-group", dest="mbstd_group", type=int, default=4)
-    p.add_argument("--kimg", type=int, default=25000)
+    p.add_argument("--kimg", type=float, default=25000)
     p.add_argument("--tick", type=float, default=4)
     p.add_argument("--snap", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
