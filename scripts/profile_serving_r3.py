@@ -59,9 +59,17 @@ def main():
         B = 1
     precision.fast_f32(True)
 
-    cfg = cfg_mod.preset_generator_config("seg2cat", sr_num_fp16_res=4)
+    # Match bench.py's experiment knobs so the stage budget can be profiled
+    # at the candidate serving default (PIX2PIX3D_PROF_GFP16=7
+    # PIX2PIX3D_PROF_DEPTH=64 mirrors `bench.py --g-fp16 7 --depth 64`).
+    gfp16 = int(os.environ.get("PIX2PIX3D_PROF_GFP16", "0"))
+    depth = int(os.environ.get("PIX2PIX3D_PROF_DEPTH", "96"))
+    cfg = cfg_mod.preset_generator_config("seg2cat", sr_num_fp16_res=4,
+                                          g_num_fp16_res=gfp16)
+    if gfp16:
+        cfg["mapping_kwargs"]["encoder_num_fp16_res"] = gfp16
     G = build_generator(**cfg)
-    G.rendering_kwargs.update(sampler="frustum", frustum_depth_steps=96,
+    G.rendering_kwargs.update(sampler="frustum", frustum_depth_steps=depth,
                               frustum_chunk=8, decoder_impl="pallas")
     params = G.init(jax.random.PRNGKey(0))
     nrr = 64 if smoke else 128
@@ -78,7 +86,8 @@ def main():
     c2w_j = jnp.asarray(np.tile(np.asarray(c2w), (1, 1, 1)))
     intr_j = jnp.asarray(np.tile(np.asarray(intr)[None], (B, 1, 1)))
 
-    print(f"== serving profile, batch {B}, frustum+pallas+bf16 ==", flush=True)
+    print(f"== serving profile, batch {B}, frustum+pallas+bf16, "
+          f"g_fp16={gfp16}, depth={depth} ==", flush=True)
 
     mapping = jax.jit(lambda p, z, c: G.mapping(p, z, c, batch))
     ws, t_map = timeit("mapping(+encoder)", mapping, params, z, pose, batch=B)
