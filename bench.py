@@ -39,7 +39,7 @@ ROUNDS = 5  # timed rounds; report median (first round in a fresh process
 
 def bench_config(sampler, decoder_impl, batch, iters=ITERS, g_fp16=0,
                  frustum_window=None, frustum_tiles=None, dual_sr=False,
-                 depth_steps=96):
+                 depth_steps=96, chunk_grid=False):
     """Build the flagship seg2cat generator in the given sampler config and
     return measured images/sec on the current default device.
 
@@ -73,6 +73,11 @@ def bench_config(sampler, decoder_impl, batch, iters=ITERS, g_fp16=0,
             G.rendering_kwargs["frustum_window"] = frustum_window
         if frustum_tiles is not None:
             G.rendering_kwargs["frustum_tiles"] = frustum_tiles
+        if chunk_grid:
+            # A/B: chunk-blocked fused-kernel grid (one grid step per
+            # chunk of slabs, TC x fewer steps than the default per-slab
+            # grid, which is launch-overhead bound)
+            G.rendering_kwargs["fused_chunk_grid"] = True
     if dual_sr:
         # run rgb+semantic SR as one vmapped/grouped program (exact)
         G.rendering_kwargs["dual_sr"] = True
@@ -133,6 +138,7 @@ def main():
     g_fp16 = int(sys.argv[sys.argv.index("--g-fp16") + 1]) \
         if "--g-fp16" in sys.argv else 0
     dual_sr = "--dual-sr" in sys.argv
+    chunk_grid = "--chunk-grid" in sys.argv
     # --depth N: frustum slab count (default 96, matching the reference's
     # 48+48 sample count; fewer slabs = coarser depth quadrature — a
     # serving knob that must re-pass the quality gates before defaulting)
@@ -188,7 +194,7 @@ def main():
     r = bench_config("frustum", decoder_impl, batch, g_fp16=g_fp16,
                      frustum_window=frustum_window,
                      frustum_tiles=frustum_tiles, dual_sr=dual_sr,
-                     depth_steps=depth_steps)
+                     depth_steps=depth_steps, chunk_grid=chunk_grid)
     out = {
         "metric": "seg2cat_512px_inference",
         "value": round(r["median"], 3),
@@ -199,6 +205,7 @@ def main():
                    "batch": batch, "window": window_name, "g_fp16": g_fp16,
                    "dual_sr": dual_sr, "fast_f32": True,
                    "depth_steps": depth_steps, "chunk": 8,
+                   "fused_grid": "chunk" if chunk_grid else "slab",
                    "rounds": r["rounds"], "iters": r["iters_per_round"]},
     }
     if not skip_parity:

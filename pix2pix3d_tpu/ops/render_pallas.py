@@ -53,6 +53,97 @@ def fuse_late_separate_params_t(params, lr_mul):
     return w1.T, b1.reshape(-1, 1), w2.T, b2.reshape(-1, 1)
 
 
+def _make_kernel_chunk(T, TC, rgb_sigmoid, sem_sigmoid, compute_dtype):
+    """Chunk-blocked variant: one grid step decodes AND composites all TC
+    slabs of a chunk (unrolled in-kernel loop over the block's slab dim).
+
+    Why: the per-slab grid runs N*J*T steps of ~170 MFLOP each (~1 us of
+    MXU work) — measured grid-step overhead dominates (the kernel reads
+    its staging at ~2% of HBM peak).  Blocking the chunk cuts grid steps
+    TC x (12288 -> 1536 at batch 32 / T 96 / chunk 8) for a 2 MB feats
+    block that fits VMEM comfortably.  Identical math and outputs
+    (tests/test_render_pallas.py::test_chunk_grid_matches_slab_grid)."""
+    prec = (jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    CH = T // TC
+
+    def kernel(t_vals_ref, feats_ref, dnorm_ref, w1t_ref, b1_ref, w2t_ref,
+               b2_ref, rgb_out, d_out, w_out,
+               prev_c, prev_s, prev_d, trans, acc_c, acc_d, acc_w):
+        n = pl.program_id(0)
+        ch = pl.program_id(2)
+
+        def decode(tc):
+            x = feats_ref[0, 0, tc]                          # [32, RT]
+            h = jnp.dot(w1t_ref[:], x, preferred_element_type=jnp.float32,
+                        precision=prec)
+            h = jax.nn.softplus(h + b1_ref[:])
+            o = jnp.dot(w2t_ref[:], h.astype(x.dtype),
+                        preferred_element_type=jnp.float32,
+                        precision=prec) + b2_ref[:]
+            row = jax.lax.broadcasted_iota(jnp.int32, o.shape, 0)
+            if rgb_sigmoid or sem_sigmoid:
+                clamped = jax.nn.sigmoid(o) * (1 + 2 * 0.001) - 0.001
+                if rgb_sigmoid and sem_sigmoid:
+                    use = row < 64
+                elif rgb_sigmoid:
+                    use = row < 32
+                else:
+                    use = (row >= 32) & (row < 64)
+                act = jnp.where(use, clamped, o)
+            else:
+                act = o
+            c = act[:64].astype(compute_dtype)               # [64, RT]
+            s = o[64:65]                                     # [1, RT] f32
+            d = t_vals_ref[n, ch * TC + tc] * dnorm_ref[0]   # [1, RT] f32
+            return c, s, d
+
+        def init_carry(c, s, d):
+            prev_c[:] = c
+            prev_s[:] = s
+            prev_d[:] = d
+            trans[:] = jnp.ones_like(trans)
+            acc_c[:] = jnp.zeros_like(acc_c)
+            acc_d[:] = jnp.zeros_like(acc_d)
+            acc_w[:] = jnp.zeros_like(acc_w)
+
+        def composite(c, s, d):
+            delta = d - prev_d[:]
+            sig_mid = jax.nn.softplus((prev_s[:] + s) * 0.5 - 1.0)
+            alpha = 1.0 - jnp.exp(-sig_mid * delta)
+            w = alpha * trans[:]
+            half_w = 0.5 * w
+            acc_c[:] = acc_c[:] + half_w * (prev_c[:].astype(jnp.float32)
+                                            + c.astype(jnp.float32))
+            acc_d[:] = acc_d[:] + half_w * (prev_d[:] + d)
+            acc_w[:] = acc_w[:] + w
+            trans[:] = trans[:] * (1.0 - alpha + 1e-10)
+            prev_c[:] = c
+            prev_s[:] = s
+            prev_d[:] = d
+
+        for tc in range(TC):  # static unroll over the chunk's slabs
+            c, s, d = decode(tc)
+            if tc == 0:
+                @pl.when(ch == 0)
+                def _(c=c, s=s, d=d):
+                    init_carry(c, s, d)
+
+                @pl.when(ch > 0)
+                def _(c=c, s=s, d=d):
+                    composite(c, s, d)
+            else:
+                composite(c, s, d)
+
+        @pl.when(ch == CH - 1)
+        def _():
+            rgb_out[0] = acc_c[:]
+            d_out[0] = acc_d[:]
+            w_out[0] = acc_w[:]
+
+    return kernel
+
+
 def _make_kernel(T, TC, rgb_sigmoid, sem_sigmoid, compute_dtype):
     prec = (jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
@@ -127,17 +218,21 @@ def _make_kernel(T, TC, rgb_sigmoid, sem_sigmoid, compute_dtype):
 
 @functools.partial(jax.jit, static_argnames=("rgb_sigmoid", "sem_sigmoid",
                                              "ray_tile", "compute_dtype",
-                                             "interpret"))
+                                             "interpret", "chunk_grid"))
 def fused_decode_composite(feats, t_vals, dnorm, w1t, b1, w2t, b2,
                            rgb_sigmoid=True, sem_sigmoid=False,
                            ray_tile=4096, compute_dtype=jnp.bfloat16,
-                           interpret=False):
+                           interpret=False, chunk_grid=True):
     """feats [CH, N, TC, 32, R] (chunk-major slab features, channels first),
     t_vals [N, CH*TC] f32 z-depths, dnorm [N, R] f32 direction norms.
 
     Returns (acc_rgb [N, 64, R] f32, acc_d [N, R] f32, acc_w [N, R] f32) —
     the unnormalized composite; depth normalization / white_back / range
-    mapping stay in the caller (`frustum_render`)."""
+    mapping stay in the caller (`frustum_render`).
+
+    chunk_grid=True (default) runs one grid step per chunk of TC slabs
+    (see `_make_kernel_chunk`); False keeps the original one-step-per-slab
+    grid for A/B."""
     CH, N, TC, C, R = feats.shape
     T = CH * TC
     assert C == 32 and t_vals.shape == (N, T) and dnorm.shape == (N, R)
@@ -145,9 +240,18 @@ def fused_decode_composite(feats, t_vals, dnorm, w1t, b1, w2t, b2,
     assert R % RT == 0, (R, RT)
     J = R // RT
 
-    kernel = _make_kernel(T, TC, bool(rgb_sigmoid), bool(sem_sigmoid),
-                          compute_dtype)
-    grid = (N, J, CH, TC)
+    if chunk_grid:
+        kernel = _make_kernel_chunk(T, TC, bool(rgb_sigmoid),
+                                    bool(sem_sigmoid), compute_dtype)
+        grid = (N, J, CH)
+        feats_spec = pl.BlockSpec((1, 1, TC, C, RT),
+                                  lambda n, j, ch, *_: (ch, n, 0, 0, j))
+    else:
+        kernel = _make_kernel(T, TC, bool(rgb_sigmoid), bool(sem_sigmoid),
+                              compute_dtype)
+        grid = (N, J, CH, TC)
+        feats_spec = pl.BlockSpec((1, 1, 1, C, RT),
+                                  lambda n, j, ch, tc, *_: (ch, n, tc, 0, j))
 
     rgb, acc_d, acc_w = pl.pallas_call(
         kernel,
@@ -155,20 +259,19 @@ def fused_decode_composite(feats, t_vals, dnorm, w1t, b1, w2t, b2,
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1, 1, C, RT),
-                             lambda n, j, ch, tc, *_: (ch, n, tc, 0, j)),
+                feats_spec,
                 # [N, 1, R] with a singleton middle dim: Mosaic requires the
                 # last-two block dims be (8k, 128k) or array-equal
-                pl.BlockSpec((1, 1, RT), lambda n, j, ch, tc, *_: (n, 0, j)),
-                pl.BlockSpec((128, C), lambda n, j, ch, tc, *_: (0, 0)),
-                pl.BlockSpec((128, 1), lambda n, j, ch, tc, *_: (0, 0)),
-                pl.BlockSpec((128, 128), lambda n, j, ch, tc, *_: (0, 0)),
-                pl.BlockSpec((128, 1), lambda n, j, ch, tc, *_: (0, 0)),
+                pl.BlockSpec((1, 1, RT), lambda n, j, *_: (n, 0, j)),
+                pl.BlockSpec((128, C), lambda n, j, *_: (0, 0)),
+                pl.BlockSpec((128, 1), lambda n, j, *_: (0, 0)),
+                pl.BlockSpec((128, 128), lambda n, j, *_: (0, 0)),
+                pl.BlockSpec((128, 1), lambda n, j, *_: (0, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((1, 64, RT), lambda n, j, ch, tc, *_: (n, 0, j)),
-                pl.BlockSpec((1, 1, RT), lambda n, j, ch, tc, *_: (n, 0, j)),
-                pl.BlockSpec((1, 1, RT), lambda n, j, ch, tc, *_: (n, 0, j)),
+                pl.BlockSpec((1, 64, RT), lambda n, j, *_: (n, 0, j)),
+                pl.BlockSpec((1, 1, RT), lambda n, j, *_: (n, 0, j)),
+                pl.BlockSpec((1, 1, RT), lambda n, j, *_: (n, 0, j)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((64, RT), compute_dtype),   # prev_c

@@ -564,7 +564,13 @@ def frustum_render(planes, decoder, cam2world, intrinsics, rendering_options,
         acc_rgb_t, acc_d, acc_w = fused_decode_composite(
             feats, t_vals, dnorm, w1t, b1, w2t, b2, rgb_sigmoid=rgb_sig,
             sem_sigmoid=sem_sig, compute_dtype=compute_dtype,
-            interpret=jax.default_backend() == "cpu")
+            interpret=jax.default_backend() == "cpu",
+            # opt-in: one grid step per chunk of slabs (TC x fewer grid
+            # steps; the per-slab grid is launch-overhead bound — see
+            # ops/render_pallas._make_kernel_chunk).  Off until validated
+            # on real TPU hardware; enable via
+            # rendering_kwargs['fused_chunk_grid'] / bench.py --chunk-grid.
+            chunk_grid=bool(opts.get("fused_chunk_grid", False)))
         acc_rgb = acc_rgb_t.transpose(0, 2, 1)         # [N, r, 64]
         return _finalize(acc_rgb, acc_d, acc_w, t_vals, dnorm, opts)
 

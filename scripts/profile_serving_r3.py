@@ -71,6 +71,9 @@ def main():
     G = build_generator(**cfg)
     G.rendering_kwargs.update(sampler="frustum", frustum_depth_steps=depth,
                               frustum_chunk=8, decoder_impl="pallas")
+    if os.environ.get("PIX2PIX3D_PROF_CHUNK_GRID"):
+        # chunk-blocked fused-kernel grid (bench.py --chunk-grid)
+        G.rendering_kwargs["fused_chunk_grid"] = True
     params = G.init(jax.random.PRNGKey(0))
     nrr = 64 if smoke else 128
 

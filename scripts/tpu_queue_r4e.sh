@@ -1,0 +1,66 @@
+#!/bin/bash
+# Round-4 queue, part e — continuation of part d after the manual serving
+# A/B window (chunk-grid fused kernel).  Reordered by judge priority for
+# the time remaining in the session: the 512^2 reference-shape run first
+# (VERDICT item 3), then the gather fine-tune + its frustum gate (item 4's
+# hard case, reduced to 0.125 kimg / n=32 to fit), then the edge pipeline
+# (item 5), then app artifacts.  Durable results go straight into docs/.
+set -u
+cd "$(dirname "$0")/.."
+LOG=/tmp/queue_r4e.log
+step() {  # step NAME TIMEOUT_S CMD...
+    local name="$1" to="$2"; shift 2
+    [ -f /tmp/queue_stop ] && { echo "=== STOPPED before $name ===" >> "$LOG"; exit 0; }
+    echo "=== [$(date +%H:%M:%S)] $name ===" >> "$LOG"
+    timeout "$to" "$@" >> "$LOG" 2>&1
+    echo "=== [$(date +%H:%M:%S)] $name rc=$?" >> "$LOG"
+}
+
+mkdir -p docs/runs_r4
+CKPT=$(ls -t .runs/*/network-final.ckpt 2>/dev/null | head -1)
+echo "queue_r4e: base ckpt = $CKPT" >> "$LOG"
+
+# 1. 512^2 reference-shape recipe (>=1 full tick is the bar; tick 0.125
+#    so the first tick lands within minutes of the first step)
+step train512 4200 env KIMG=1 bash scripts/run_seg2cat512_sanity.sh \
+    --tick 0.125 --snap 4
+RUN512=$(ls -td .runs/*/ 2>/dev/null | head -1)
+if [ -n "$RUN512" ] && [ -f "$RUN512/stats.jsonl" ]; then
+    cp "$RUN512/stats.jsonl" docs/runs_r4/train512_stats.jsonl
+fi
+
+# 2. gather fine-tune (weights move under gather-sampler gradients) + the
+#    gather-trained frustum gate at n=32
+if [ -n "$CKPT" ]; then
+    step gather_ft 3600 bash scripts/run_seg2cat128_sanity.sh \
+        --resume "$CKPT" --sampler gather --point_chunk 16384 \
+        --kimg 0.125 --tick 0.0625 --snap 2
+    GCKPT=$(ls -t .runs/*/network-final.ckpt 2>/dev/null | head -1)
+    if [ "$GCKPT" != "$CKPT" ] && [ -n "$GCKPT" ]; then
+        step quality_gather_trained 2700 \
+            python scripts/eval_frustum_quality.py "$GCKPT" 32 \
+                docs/frustum_quality_r4_gather_trained.json
+    fi
+fi
+
+# 3. edge pipeline on-device + sample PNGs
+step edge_train 4200 env KIMG=1 bash scripts/run_edge_sanity.sh \
+    --sampler frustum --remat True --tick 0.125
+ECKPT=$(ls -t .runs/*/network-final.ckpt 2>/dev/null | head -1)
+if [ "$ECKPT" != "$CKPT" ] && [ "$ECKPT" != "${GCKPT:-}" ] && [ -n "$ECKPT" ]; then
+    cp "$(dirname "$ECKPT")/stats.jsonl" docs/runs_r4/edge_stats.jsonl 2>/dev/null
+    EDGE_IN=$(ls .data/synth_edge/edges/*.png | head -1)
+    step edge_samples 1800 python -m pix2pix3d_tpu.apps.generate_samples \
+        --network "$ECKPT" --cfg edge2car --input "$EDGE_IN" \
+        --outdir docs/samples/trained_apps_r4_edge --random_seed 1 7
+fi
+
+# 4. app artifacts from the round-4 seg2cat checkpoint
+if [ -n "$CKPT" ]; then
+    SEG_IN=$(ls .data/synth/masks/*.png | head -1)
+    step apps_samples 1800 python -m pix2pix3d_tpu.apps.generate_samples \
+        --network "$CKPT" --cfg seg2cat --input "$SEG_IN" \
+        --outdir docs/samples/trained_apps_r4 --random_seed 1 7
+fi
+
+echo "=== [$(date +%H:%M:%S)] queue_r4e DONE ===" >> "$LOG"

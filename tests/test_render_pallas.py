@@ -64,6 +64,43 @@ def test_fused_composite_matches_unfused(sem_sigmoid):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("chunk", [8, 16])
+def test_chunk_grid_matches_slab_grid(chunk):
+    """The chunk-blocked grid (one step per TC slabs, default) must match
+    the original per-slab grid.  Same math in the same order, but the two
+    compilations may fma/reassociate differently — measured max delta is
+    ~1 ULP (1.2e-6), so the gate is a tight tolerance, not bit equality."""
+    from pix2pix3d_tpu.models.triplane import OSGDecoderSemanticLateSeparate
+    from pix2pix3d_tpu.ops.render_pallas import (fuse_late_separate_params_t,
+                                                 fused_decode_composite)
+
+    key = jax.random.PRNGKey(2)
+    planes = _smooth_planes(key, s=64, c=32, n=2)
+    dec = OSGDecoderSemanticLateSeparate(
+        32, {"decoder_output_dim": 32, "decoder_lr_mul": 1.0,
+             "sigmoid": False})
+    dp = dec.init(jax.random.PRNGKey(3))
+    w1t, b1, w2t, b2 = fuse_late_separate_params_t(dp, 1.0)
+
+    T, R, N, C = 48, 256, 2, 32
+    CH = T // chunk
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(CH, N, chunk, C, R).astype(np.float32))
+    t_vals = jnp.asarray(
+        np.sort(rng.rand(N, T).astype(np.float32) * 2 + 2, axis=1))
+    dnorm = jnp.asarray(1 + 0.1 * rng.rand(N, R).astype(np.float32))
+
+    kw = dict(rgb_sigmoid=True, sem_sigmoid=False,
+              compute_dtype=jnp.float32, interpret=True)
+    a = fused_decode_composite(feats, t_vals, dnorm, w1t, b1, w2t, b2,
+                               chunk_grid=True, **kw)
+    b = fused_decode_composite(feats, t_vals, dnorm, w1t, b1, w2t, b2,
+                               chunk_grid=False, **kw)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_generator_fused_frustum_path():
     """decoder_impl='pallas' end-to-end through the generator on CPU
     (interpreter): must match the plain frustum path closely."""
