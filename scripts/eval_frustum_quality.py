@@ -140,7 +140,16 @@ def main():
             G.rendering_kwargs["decoder_impl"] = "pallas"
             if os.environ.get("PIX2PIX3D_EVAL_DUAL_SR"):
                 G.rendering_kwargs["dual_sr"] = True
-            precision.fast_f32(True)
+            if os.environ.get("PIX2PIX3D_EVAL_CHUNK_GRID"):
+                G.rendering_kwargs["fused_chunk_grid"] = True
+            if os.environ.get("PIX2PIX3D_EVAL_SERVE_F32"):
+                # attribution control: the frustum SAMPLE PLACEMENT at f32
+                # numerics (no bf16 convs, f32 slab chain + fused kernel).
+                # Separates placement error from precision error when a
+                # TPU gate misses (the bf16 gate run is the product gate).
+                G.rendering_kwargs["frustum_bf16"] = False
+            else:
+                precision.fast_f32(True)
         print(f"[eval] rendering {n_images} images via {sampler}", flush=True)
         imgs, raws, sems = [], [], []
         r = np.random.RandomState(7)  # same stream per sampler
@@ -197,6 +206,8 @@ def main():
         "serving_config": {
             "depth_steps": int(os.environ.get("PIX2PIX3D_EVAL_DEPTH", "96")),
             "g_fp16": int(os.environ.get("PIX2PIX3D_EVAL_GFP16", "0")),
+            "serve_f32": bool(os.environ.get("PIX2PIX3D_EVAL_SERVE_F32")),
+            "chunk_grid": bool(os.environ.get("PIX2PIX3D_EVAL_CHUNK_GRID")),
             "dual_sr": bool(os.environ.get("PIX2PIX3D_EVAL_DUAL_SR")),
         },
         "psnr_raw": psnr(raw_g, raw_f),

@@ -1,9 +1,10 @@
 #!/bin/bash
 # Round-4 queue, part e — continuation of part d after the manual serving
 # A/B window (chunk-grid fused kernel).  Reordered by judge priority for
-# the time remaining in the session: the 512^2 reference-shape run first
-# (VERDICT item 3), then the gather fine-tune + its frustum gate (item 4's
-# hard case, reduced to 0.125 kimg / n=32 to fit), then the edge pipeline
+# the time remaining in the session: the gather fine-tune + its frustum
+# gate first (item 4's hard case, 0.125 kimg / n=32 — it completes a
+# judge item), then the 512^2 reference-shape run (item 3; its stats are
+# poll-copied from the main session while it runs), then the edge pipeline
 # (item 5), then app artifacts.  Durable results go straight into docs/.
 set -u
 cd "$(dirname "$0")/.."
@@ -20,16 +21,7 @@ mkdir -p docs/runs_r4
 CKPT=$(ls -t .runs/*/network-final.ckpt 2>/dev/null | head -1)
 echo "queue_r4e: base ckpt = $CKPT" >> "$LOG"
 
-# 1. 512^2 reference-shape recipe (>=1 full tick is the bar; tick 0.125
-#    so the first tick lands within minutes of the first step)
-step train512 4200 env KIMG=1 bash scripts/run_seg2cat512_sanity.sh \
-    --tick 0.125 --snap 4
-RUN512=$(ls -td .runs/*/ 2>/dev/null | head -1)
-if [ -n "$RUN512" ] && [ -f "$RUN512/stats.jsonl" ]; then
-    cp "$RUN512/stats.jsonl" docs/runs_r4/train512_stats.jsonl
-fi
-
-# 2. gather fine-tune (weights move under gather-sampler gradients) + the
+# 1. gather fine-tune (weights move under gather-sampler gradients) + the
 #    gather-trained frustum gate at n=32
 if [ -n "$CKPT" ]; then
     step gather_ft 3600 bash scripts/run_seg2cat128_sanity.sh \
@@ -41,6 +33,15 @@ if [ -n "$CKPT" ]; then
             python scripts/eval_frustum_quality.py "$GCKPT" 32 \
                 docs/frustum_quality_r4_gather_trained.json
     fi
+fi
+
+# 2. 512^2 reference-shape recipe (>=1 full tick is the bar; tick 0.125
+#    so the first tick lands within minutes of the first step)
+step train512 4200 env KIMG=1 bash scripts/run_seg2cat512_sanity.sh \
+    --tick 0.125 --snap 4
+RUN512=$(ls -td .runs/*/ 2>/dev/null | head -1)
+if [ -n "$RUN512" ] && [ -f "$RUN512/stats.jsonl" ]; then
+    cp "$RUN512/stats.jsonl" docs/runs_r4/train512_stats.jsonl
 fi
 
 # 3. edge pipeline on-device + sample PNGs
