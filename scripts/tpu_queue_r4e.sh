@@ -1,11 +1,12 @@
 #!/bin/bash
-# Round-4 queue, part e — continuation of part d after the manual serving
-# A/B window (chunk-grid fused kernel).  Reordered by judge priority for
-# the time remaining in the session: the gather fine-tune + its frustum
-# gate first (item 4's hard case, 0.125 kimg / n=32 — it completes a
-# judge item), then the 512^2 reference-shape run (item 3; its stats are
-# poll-copied from the main session while it runs), then the edge pipeline
-# (item 5), then app artifacts.  Durable results go straight into docs/.
+# Round-4 queue, part e — continuation after part d was stopped post
+# edge-train for the manual chunk-grid bench window.  Order for the time
+# remaining in the session: the 512^2 reference-shape run first (VERDICT
+# item 3 — failed empty last round; its stats are poll-copied from the
+# main session while it runs), then the gather fine-tune + its frustum
+# gate (item 4's hard case, 0.125 kimg / n=32 to fit), then sample PNGs
+# from the edge checkpoint part d trained and the seg2cat checkpoint.
+# Durable results go straight into docs/.
 set -u
 cd "$(dirname "$0")/.."
 LOG=/tmp/queue_r4e.log
@@ -18,37 +19,35 @@ step() {  # step NAME TIMEOUT_S CMD...
 }
 
 mkdir -p docs/runs_r4
-CKPT=$(ls -t .runs/*/network-final.ckpt 2>/dev/null | head -1)
-echo "queue_r4e: base ckpt = $CKPT" >> "$LOG"
+CKPT=$(ls -t .runs/00000*/network-final.ckpt 2>/dev/null | head -1)
+ECKPT=$(ls -t .runs/00001*/network-final.ckpt 2>/dev/null | head -1)
+echo "queue_r4e: seg ckpt = $CKPT; edge ckpt = $ECKPT" >> "$LOG"
 
-# 1. gather fine-tune (weights move under gather-sampler gradients) + the
-#    gather-trained frustum gate at n=32
-if [ -n "$CKPT" ]; then
-    step gather_ft 3600 bash scripts/run_seg2cat128_sanity.sh \
-        --resume "$CKPT" --sampler gather --point_chunk 16384 \
-        --kimg 0.125 --tick 0.0625 --snap 2
-    GCKPT=$(ls -t .runs/*/network-final.ckpt 2>/dev/null | head -1)
-    if [ "$GCKPT" != "$CKPT" ] && [ -n "$GCKPT" ]; then
-        step quality_gather_trained 2700 \
-            python scripts/eval_frustum_quality.py "$GCKPT" 32 \
-                docs/frustum_quality_r4_gather_trained.json
-    fi
-fi
-
-# 2. 512^2 reference-shape recipe (>=1 full tick is the bar; tick 0.125
+# 1. 512^2 reference-shape recipe (>=1 full tick is the bar; tick 0.125
 #    so the first tick lands within minutes of the first step)
-step train512 4200 env KIMG=1 bash scripts/run_seg2cat512_sanity.sh \
+step train512 3300 env KIMG=1 bash scripts/run_seg2cat512_sanity.sh \
     --tick 0.125 --snap 4
 RUN512=$(ls -td .runs/*/ 2>/dev/null | head -1)
 if [ -n "$RUN512" ] && [ -f "$RUN512/stats.jsonl" ]; then
     cp "$RUN512/stats.jsonl" docs/runs_r4/train512_stats.jsonl
 fi
 
-# 3. edge pipeline on-device + sample PNGs
-step edge_train 4200 env KIMG=1 bash scripts/run_edge_sanity.sh \
-    --sampler frustum --remat True --tick 0.125
-ECKPT=$(ls -t .runs/*/network-final.ckpt 2>/dev/null | head -1)
-if [ "$ECKPT" != "$CKPT" ] && [ "$ECKPT" != "${GCKPT:-}" ] && [ -n "$ECKPT" ]; then
+# 2. gather fine-tune (weights move under gather-sampler gradients) + the
+#    gather-trained frustum gate at n=32
+if [ -n "$CKPT" ]; then
+    step gather_ft 3000 bash scripts/run_seg2cat128_sanity.sh \
+        --resume "$CKPT" --sampler gather --point_chunk 16384 \
+        --kimg 0.125 --tick 0.0625 --snap 2
+    GCKPT=$(ls -t .runs/*/network-final.ckpt 2>/dev/null | head -1)
+    if [ "$GCKPT" != "$CKPT" ] && [ "$GCKPT" != "$ECKPT" ] && [ -n "$GCKPT" ]; then
+        step quality_gather_trained 2700 \
+            python scripts/eval_frustum_quality.py "$GCKPT" 32 \
+                docs/frustum_quality_r4_gather_trained.json
+    fi
+fi
+
+# 3. sample PNGs from the edge checkpoint part d trained
+if [ -n "$ECKPT" ]; then
     cp "$(dirname "$ECKPT")/stats.jsonl" docs/runs_r4/edge_stats.jsonl 2>/dev/null
     EDGE_IN=$(ls .data/synth_edge/edges/*.png | head -1)
     step edge_samples 1800 python -m pix2pix3d_tpu.apps.generate_samples \
