@@ -247,6 +247,11 @@ def training_loop(
               f"Dloss {means.get('Loss/D/loss', float('nan')):<6.3f}")
         collector.reset()
 
+        # Snapshot renders and checkpoint saves fetch device state and can
+        # hit the same silent v5e device-call hang as steps (observed on an
+        # end-of-run save: 0% CPU, futex wait, forever) — keep the watchdog
+        # armed through them too.
+        watchdog_deadline[0] = time.time() + step_timeout_sec
         if image_snapshot_ticks is not None and tick % image_snapshot_ticks == 0:
             _save_fakes(G, state["G_ema"], grid_z, grid_batch, grid_n, run_dir,
                         cur_nimg, dataset.data_type, tb_writer=tb_writer,
@@ -255,6 +260,7 @@ def training_loop(
             save_checkpoint(
                 os.path.join(run_dir, f"network-snapshot-{cur_nimg//1000:06d}.ckpt"),
                 state, config=dict(g_config=g_config), step=cur_nimg)
+        watchdog_deadline[0] = None
 
         if progress_fn is not None:
             progress_fn(cur_nimg // 1000, total_kimg)
@@ -264,8 +270,10 @@ def training_loop(
         tick_start_nimg = cur_nimg
         tick_start_time = time.time()
 
+    watchdog_deadline[0] = time.time() + step_timeout_sec
     save_checkpoint(os.path.join(run_dir, "network-final.ckpt"), state,
                     config=dict(g_config=g_config), step=cur_nimg)
+    watchdog_deadline[0] = None
     wandb_sink.finish()
     print(f"done: {cur_nimg / 1e3:.1f} kimg in "
           f"{format_time(time.time() - start_time)}")

@@ -19,8 +19,13 @@ step() {  # step NAME TIMEOUT_S CMD...
 }
 
 mkdir -p docs/runs_r4
-CKPT=$(ls -t .runs/00000*/network-final.ckpt 2>/dev/null | head -1)
-ECKPT=$(ls -t .runs/00001*/network-final.ckpt 2>/dev/null | head -1)
+# newest checkpoint of a run dir, preferring network-final over snapshots
+# (the part-d edge run hung in its END-OF-RUN save — the 1.3-kimg snapshot
+# is the best artifact it left; see loop.py watchdog note)
+last_ckpt() { ls -t "$1"/network-final.ckpt "$1"/network-snapshot-*.ckpt \
+              2>/dev/null | head -1; }
+CKPT=$(last_ckpt .runs/00000-afhq-imgs-batch8-gamma5)
+ECKPT=$(last_ckpt .runs/00001-shapenet-imgs-batch8-gamma0.3)
 echo "queue_r4e: seg ckpt = $CKPT; edge ckpt = $ECKPT" >> "$LOG"
 
 # 1. 512^2 reference-shape recipe (>=1 full tick is the bar; tick 0.125
@@ -38,7 +43,8 @@ if [ -n "$CKPT" ]; then
     step gather_ft 3000 bash scripts/run_seg2cat128_sanity.sh \
         --resume "$CKPT" --sampler gather --point_chunk 16384 \
         --kimg 0.125 --tick 0.0625 --snap 2
-    GCKPT=$(ls -t .runs/*/network-final.ckpt 2>/dev/null | head -1)
+    GRUN=$(ls -td .runs/*/ 2>/dev/null | head -1)
+    GCKPT=$(last_ckpt "${GRUN%/}")
     if [ "$GCKPT" != "$CKPT" ] && [ "$GCKPT" != "$ECKPT" ] && [ -n "$GCKPT" ]; then
         step quality_gather_trained 2700 \
             python scripts/eval_frustum_quality.py "$GCKPT" 32 \
