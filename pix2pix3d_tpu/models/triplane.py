@@ -429,8 +429,17 @@ class TriPlaneSemanticEntangleGenerator(_TriPlaneBase):
         rgb_image = rgb_feature_image[..., :3]
         semantic_image = semantic_feature_image[..., :self.semantic_channels]
         sr_noise_mode = self.rendering_kwargs["superresolution_noise_mode"]
-        if self.rendering_kwargs.get("dual_sr") and dual_sr_compatible(
-                self.superresolution, self.superresolution_semantic):
+        # rendering_kwargs['sr_sem_f32']: run ONLY the semantic SR stack at
+        # f32 tensors + Precision.HIGHEST while the rest of the serving
+        # program keeps the fast bf16 policy — the mIoU quality gate reads
+        # this stack's argmax, where bf16 rounding can flip near-tie class
+        # boundaries (docs/SERVING.md round-4 attribution).  Incompatible
+        # with the dual-SR grouped-conv fast path (the two stacks must run
+        # at different precisions), so it takes priority over dual_sr.
+        sem_f32 = bool(self.rendering_kwargs.get("sr_sem_f32"))
+        if (not sem_f32 and self.rendering_kwargs.get("dual_sr")
+                and dual_sr_compatible(
+                    self.superresolution, self.superresolution_semantic)):
             # serving fast path: both SR stacks in one vmapped program
             # (grouped convs) — see nn/superresolution.dual_superresolution
             sr_image, sr_semantic = dual_superresolution(
@@ -444,10 +453,13 @@ class TriPlaneSemanticEntangleGenerator(_TriPlaneBase):
             sr_image = self.superresolution(
                 params["superresolution"], rgb_image, rgb_feature_image, ws,
                 noise_mode=sr_noise_mode, rng=rngs[2], force_fp32=force_fp32)
-            sr_semantic = self.superresolution_semantic(
-                params["superresolution_semantic"], semantic_image,
-                semantic_feature_image, ws,
-                noise_mode=sr_noise_mode, rng=rngs[3], force_fp32=force_fp32)
+            from ..ops import precision as _precision
+            with _precision.precise_scope(sem_f32):
+                sr_semantic = self.superresolution_semantic(
+                    params["superresolution_semantic"], semantic_image,
+                    semantic_feature_image, ws,
+                    noise_mode=sr_noise_mode, rng=rngs[3],
+                    force_fp32=force_fp32 or sem_f32)
 
         return {"image": sr_image, "image_raw": rgb_image,
                 "image_depth": depth_image, "semantic": sr_semantic,

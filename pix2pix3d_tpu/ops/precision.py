@@ -9,6 +9,8 @@ as the reference's fp16 blocks.
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 
 _FAST_F32 = False
@@ -18,6 +20,24 @@ def fast_f32(enable=True):
     """Enable/disable bf16-compute for f32 convs/matmuls (global)."""
     global _FAST_F32
     _FAST_F32 = bool(enable)
+
+
+@contextlib.contextmanager
+def precise_scope(enable=True):
+    """Trace-time scope that suspends `fast_f32` so the convs/matmuls
+    traced inside run at `Precision.HIGHEST` even when the global serving
+    policy is bf16-compute.  Used to pin precision-critical submodules
+    (e.g. the semantic SR stack, whose argmax the mIoU quality gate reads)
+    while the rest of the program keeps the fast policy.  No-op when
+    `enable` is False."""
+    global _FAST_F32
+    old = _FAST_F32
+    if enable:
+        _FAST_F32 = False
+    try:
+        yield
+    finally:
+        _FAST_F32 = old
 
 
 def conv_precision(dtype):

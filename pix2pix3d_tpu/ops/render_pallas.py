@@ -222,7 +222,7 @@ def _make_kernel(T, TC, rgb_sigmoid, sem_sigmoid, compute_dtype):
 def fused_decode_composite(feats, t_vals, dnorm, w1t, b1, w2t, b2,
                            rgb_sigmoid=True, sem_sigmoid=False,
                            ray_tile=4096, compute_dtype=jnp.bfloat16,
-                           interpret=False, chunk_grid=True):
+                           interpret=False, chunk_grid=False):
     """feats [CH, N, TC, 32, R] (chunk-major slab features, channels first),
     t_vals [N, CH*TC] f32 z-depths, dnorm [N, R] f32 direction norms.
 
@@ -230,9 +230,11 @@ def fused_decode_composite(feats, t_vals, dnorm, w1t, b1, w2t, b2,
     the unnormalized composite; depth normalization / white_back / range
     mapping stay in the caller (`frustum_render`).
 
-    chunk_grid=True (default) runs one grid step per chunk of TC slabs
-    (see `_make_kernel_chunk`); False keeps the original one-step-per-slab
-    grid for A/B."""
+    chunk_grid=True runs one grid step per chunk of TC slabs (see
+    `_make_kernel_chunk`); the default False keeps the one-step-per-slab
+    grid.  Opt-in until the chunk variant is validated on real TPU
+    hardware (interpret-mode equivalence only so far) — callers enable it
+    via rendering_kwargs['fused_chunk_grid'] / bench.py --chunk-grid."""
     CH, N, TC, C, R = feats.shape
     T = CH * TC
     assert C == 32 and t_vals.shape == (N, T) and dnorm.shape == (N, R)

@@ -74,6 +74,19 @@ def load_checkpoint(path, state_template=None):
     return state, payload.get("step")
 
 
+def load_ema_params(path):
+    """G_ema params from a full training checkpoint OR a durable EMA-only
+    export (`scripts/export_ema.py`).  bf16-stored leaves are upcast to
+    f32 so the compute precision policy (`ops/precision.py`) behaves
+    identically for both artifact kinds."""
+    state, step = load_checkpoint(path)
+    ema = state["G_ema"] if "G_ema" in state else state["state"]["G_ema"]
+    ema = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x,
+        ema)
+    return ema, step
+
+
 def copy_params_fuzzy(src_tree, dst_tree, allow_mismatch=True, verbose=False):
     """Name-matched partial init (ref `misc.py:157-176`): copy every leaf of
     `src_tree` whose path exists in `dst_tree` with a matching shape; paths

@@ -85,19 +85,18 @@ def main():
 
     from pix2pix3d_tpu import config as cfg_mod
     from pix2pix3d_tpu.models import build_generator
-    from pix2pix3d_tpu.train.checkpoint import load_checkpoint
+    from pix2pix3d_tpu.train.checkpoint import load_ema_params
     from pix2pix3d_tpu.metrics.metric_utils import get_feature_extractor
     from pix2pix3d_tpu.render.camera import (LookAtPoseSampler,
                                              fov_to_intrinsics,
                                              pose_to_conditioning)
 
-    state, _ = load_checkpoint(ckpt)
+    params, _ = load_ema_params(ckpt)  # full ckpt or durable EMA export
     meta = json.load(open(ckpt + ".json"))
     gc = meta["config"]["g_config"] if "config" in meta else meta["g_config"]
     if isinstance(gc, str):
         import ast
         gc = ast.literal_eval(gc)
-    params = state["G_ema"] if "G_ema" in state else state["state"]["G_ema"]
     res = gc["img_resolution"]
     sem_ch = gc["semantic_channels"]
     nrr = 128 if res >= 512 else 64
@@ -142,13 +141,26 @@ def main():
                 G.rendering_kwargs["dual_sr"] = True
             if os.environ.get("PIX2PIX3D_EVAL_CHUNK_GRID"):
                 G.rendering_kwargs["fused_chunk_grid"] = True
-            if os.environ.get("PIX2PIX3D_EVAL_SERVE_F32"):
-                # attribution control: the frustum SAMPLE PLACEMENT at f32
-                # numerics (no bf16 convs, f32 slab chain + fused kernel).
-                # Separates placement error from precision error when a
-                # TPU gate misses (the bf16 gate run is the product gate).
+            # Precision attribution matrix (round-5, after the round-4 TPU
+            # gate run showed mIoU 0.881 < 0.90 under full bf16 serving):
+            # the serving numerics split into two independent domains —
+            # `fast_f32` (bf16-compute for the f32 conv stacks: mapping,
+            # backbone; the SR stacks are bf16 TENSORS via sr_num_fp16_res
+            # either way) and `frustum_bf16` (bf16 slab chain + fused
+            # kernel).  SERVE_F32 turns both off (full-f32 control);
+            # FRUSTUM_F32 / CONVS_F32 isolate one domain each; SEM_SR_F32
+            # is the candidate targeted fix (semantic SR stack only at f32
+            # tensors + HIGHEST, everything else fast).
+            serve_f32 = bool(os.environ.get("PIX2PIX3D_EVAL_SERVE_F32"))
+            frustum_f32 = serve_f32 or bool(
+                os.environ.get("PIX2PIX3D_EVAL_FRUSTUM_F32"))
+            convs_f32 = serve_f32 or bool(
+                os.environ.get("PIX2PIX3D_EVAL_CONVS_F32"))
+            if frustum_f32:
                 G.rendering_kwargs["frustum_bf16"] = False
-            else:
+            if os.environ.get("PIX2PIX3D_EVAL_SEM_SR_F32"):
+                G.rendering_kwargs["sr_sem_f32"] = True
+            if not convs_f32:
                 precision.fast_f32(True)
         print(f"[eval] rendering {n_images} images via {sampler}", flush=True)
         imgs, raws, sems = [], [], []
@@ -184,7 +196,21 @@ def main():
         return (np.concatenate(imgs), np.concatenate(raws),
                 np.concatenate(sems))
 
-    img_g, raw_g, sem_g = render_all("gather")
+    # The parity-path renders depend only on (ckpt, n_images) — cache them
+    # so an attribution matrix of frustum configs pays for the slow gather
+    # render once (PIX2PIX3D_EVAL_GATHER_CACHE=/path/to/cache.npz).
+    cache = os.environ.get("PIX2PIX3D_EVAL_GATHER_CACHE")
+    if cache and os.path.exists(cache):
+        d = np.load(cache)
+        assert str(d["ckpt"]) == ckpt and int(d["n"]) == n_images, \
+            (str(d["ckpt"]), int(d["n"]), ckpt, n_images)
+        img_g, raw_g, sem_g = d["img"], d["raw"], d["sem"]
+        print(f"[eval] gather renders loaded from {cache}", flush=True)
+    else:
+        img_g, raw_g, sem_g = render_all("gather")
+        if cache:
+            np.savez(cache, ckpt=ckpt, n=n_images,
+                     img=img_g, raw=raw_g, sem=sem_g)
     img_f, raw_f, sem_f = render_all("frustum")
 
     detector = get_feature_extractor()
@@ -207,6 +233,9 @@ def main():
             "depth_steps": int(os.environ.get("PIX2PIX3D_EVAL_DEPTH", "96")),
             "g_fp16": int(os.environ.get("PIX2PIX3D_EVAL_GFP16", "0")),
             "serve_f32": bool(os.environ.get("PIX2PIX3D_EVAL_SERVE_F32")),
+            "frustum_f32": bool(os.environ.get("PIX2PIX3D_EVAL_FRUSTUM_F32")),
+            "convs_f32": bool(os.environ.get("PIX2PIX3D_EVAL_CONVS_F32")),
+            "sem_sr_f32": bool(os.environ.get("PIX2PIX3D_EVAL_SEM_SR_F32")),
             "chunk_grid": bool(os.environ.get("PIX2PIX3D_EVAL_CHUNK_GRID")),
             "dual_sr": bool(os.environ.get("PIX2PIX3D_EVAL_DUAL_SR")),
         },

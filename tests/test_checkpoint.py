@@ -60,3 +60,53 @@ def test_lpips_shapes_and_symmetry():
     assert (d >= 0).all()
     np.testing.assert_allclose(np.asarray(lp(a, a)), 0.0, atol=1e-6)
     np.testing.assert_allclose(d, np.asarray(lp(b, a)), rtol=1e-5)
+
+
+def test_ema_export_and_load(tmp_path):
+    """Durable EMA-only export (scripts/export_ema.py semantics): bf16-cast
+    G_ema + config sidecar round-trips through load_ema_params, which
+    upcasts bf16 leaves to f32 and accepts both full-state and EMA-only
+    artifacts."""
+    from pix2pix3d_tpu.train.checkpoint import load_ema_params
+    ema = {"backbone": {"w": jnp.arange(12.0).reshape(3, 4)},
+           "ints": jnp.asarray([1, 2], dtype=jnp.int32)}
+    full = str(tmp_path / "full.ckpt")
+    save_checkpoint(full, {"G_ema": ema, "D": {"w": jnp.ones((2,))}},
+                    config={"g_config": "{'x': 1}"}, step=99)
+    p_full, step_full = load_ema_params(full)
+    assert step_full == 99
+
+    # the export: bf16-cast float leaves, EMA only
+    ema_bf16 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        ema)
+    exp = str(tmp_path / "ema.ckpt")
+    save_checkpoint(exp, {"G_ema": ema_bf16},
+                    config={"g_config": "{'x': 1}"}, step=99)
+    p_exp, _ = load_ema_params(exp)
+    assert p_exp["backbone"]["w"].dtype == jnp.float32  # upcast on load
+    assert p_exp["ints"].dtype == jnp.int32             # non-float untouched
+    np.testing.assert_allclose(np.asarray(p_exp["backbone"]["w"]),
+                               np.asarray(p_full["backbone"]["w"]),
+                               atol=0.05)  # bf16 storage rounding only
+
+
+def test_precise_scope_restores_policy():
+    """ops.precision.precise_scope pins HIGHEST inside, restores the fast
+    policy outside (used by rendering_kwargs['sr_sem_f32'])."""
+    from pix2pix3d_tpu.ops import precision
+    precision.fast_f32(True)
+    try:
+        assert precision.conv_precision(jnp.float32) != \
+            jax.lax.Precision.HIGHEST
+        with precision.precise_scope(True):
+            assert precision.conv_precision(jnp.float32) == \
+                jax.lax.Precision.HIGHEST
+        assert precision.conv_precision(jnp.float32) != \
+            jax.lax.Precision.HIGHEST
+        with precision.precise_scope(False):  # no-op scope
+            assert precision.conv_precision(jnp.float32) != \
+                jax.lax.Precision.HIGHEST
+    finally:
+        precision.fast_f32(False)
+    assert precision.conv_precision(jnp.float32) == jax.lax.Precision.HIGHEST

@@ -3,7 +3,8 @@
 import numpy as np
 import pytest
 
-from pix2pix3d_tpu.metrics.frechet_inception_distance import frechet_distance
+from pix2pix3d_tpu.metrics.frechet_inception_distance import (
+    frechet_distance, frechet_lowrank)
 from pix2pix3d_tpu.metrics.kernel_inception_distance import kid_from_features
 from pix2pix3d_tpu.metrics.miou import confusion_matrix, miou_from_confusion
 from pix2pix3d_tpu.metrics.metric_utils import FeatureStats, RandomConvFeatures
@@ -18,6 +19,26 @@ def test_frechet_distance_properties():
     y = x + 3.0
     d = frechet_distance(y.mean(0), np.cov(y, rowvar=False), mu, cov)
     assert abs(d - 16 * 9) < 1.0  # |mu diff|^2 = 16 * 3^2
+
+
+def test_frechet_lowrank_matches_full():
+    # frechet_lowrank (eigvals of the tiny [n, n] cross matrix) must agree
+    # with the full-covariance frechet_distance for n > dim, where both are
+    # exact, and stay finite/ordered in the n << dim regime it exists for.
+    rng = np.random.RandomState(4)
+    f1 = rng.randn(300, 16)
+    f2 = rng.randn(280, 16) * 1.3 + 0.5
+    full = frechet_distance(
+        f1.mean(0), np.cov(f1, rowvar=False),
+        f2.mean(0), np.cov(f2, rowvar=False))
+    low = frechet_lowrank(f1, f2)
+    assert abs(full - low) < 1e-6 * max(1.0, abs(full))
+    # n << dim: near-zero for identical sets, larger for shifted ones
+    g1 = rng.randn(8, 512)
+    near = frechet_lowrank(g1, g1)
+    far = frechet_lowrank(g1, g1 + 2.0)
+    assert abs(near) < 1e-6
+    assert far > 1.0
 
 
 def test_kid_zero_for_same_distribution():
