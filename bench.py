@@ -39,7 +39,7 @@ ROUNDS = 5  # timed rounds; report median (first round in a fresh process
 
 def bench_config(sampler, decoder_impl, batch, iters=ITERS, g_fp16=0,
                  frustum_window=None, frustum_tiles=None, dual_sr=False,
-                 depth_steps=96, chunk_grid=False):
+                 depth_steps=96, chunk_grid=False, sem_sr_f32=False):
     """Build the flagship seg2cat generator in the given sampler config and
     return measured images/sec on the current default device.
 
@@ -81,6 +81,11 @@ def bench_config(sampler, decoder_impl, batch, iters=ITERS, g_fp16=0,
     if dual_sr:
         # run rgb+semantic SR as one vmapped/grouped program (exact)
         G.rendering_kwargs["dual_sr"] = True
+    if sem_sr_f32:
+        # semantic SR stack at f32 tensors + HIGHEST (the round-5 targeted
+        # quality fix: the mIoU gate reads this stack's argmax, where bf16
+        # rounding flips near-tie class boundaries — docs/SERVING.md)
+        G.rendering_kwargs["sr_sem_f32"] = True
     params = G.init(jax.random.PRNGKey(0))
 
     rng = np.random.RandomState(0)
@@ -139,6 +144,7 @@ def main():
         if "--g-fp16" in sys.argv else 0
     dual_sr = "--dual-sr" in sys.argv
     chunk_grid = "--chunk-grid" in sys.argv
+    sem_sr_f32 = "--sem-sr-f32" in sys.argv
     # --depth N: frustum slab count (default 96, matching the reference's
     # 48+48 sample count; fewer slabs = coarser depth quadrature — a
     # serving knob that must re-pass the quality gates before defaulting)
@@ -194,7 +200,8 @@ def main():
     r = bench_config("frustum", decoder_impl, batch, g_fp16=g_fp16,
                      frustum_window=frustum_window,
                      frustum_tiles=frustum_tiles, dual_sr=dual_sr,
-                     depth_steps=depth_steps, chunk_grid=chunk_grid)
+                     depth_steps=depth_steps, chunk_grid=chunk_grid,
+                     sem_sr_f32=sem_sr_f32)
     out = {
         "metric": "seg2cat_512px_inference",
         "value": round(r["median"], 3),
@@ -205,6 +212,7 @@ def main():
                    "batch": batch, "window": window_name, "g_fp16": g_fp16,
                    "dual_sr": dual_sr, "fast_f32": True,
                    "depth_steps": depth_steps, "chunk": 8,
+                   "sem_sr_f32": sem_sr_f32,
                    "fused_grid": "chunk" if chunk_grid else "slab",
                    "rounds": r["rounds"], "iters": r["iters_per_round"]},
     }

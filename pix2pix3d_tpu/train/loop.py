@@ -59,6 +59,20 @@ def training_loop(
     random_seed=0,
     resume_path=None,
     resume_kimg=0,
+    resume_partial=False,       # fuzzy name-matched net init from a native
+                                # ckpt of a DIFFERENT architecture (the ref
+                                # `--resume` EG3D-pkl semantics,
+                                # `training_loop.py:311-321`, applied to
+                                # our own checkpoints; opt state + nimg
+                                # start fresh)
+    jit_phases=False,           # one jitted program per phase instead of
+                                # the 6-phase monolith: ~6x smaller
+                                # programs (identical math, trainer.py
+                                # `make_step`).  Use when the monolith
+                                # overwhelms the compiler — e.g. 512^2 +
+                                # 4 accumulation rounds statically
+                                # unrolled got the remote compile helper
+                                # OOM-killed (round 5)
     lpips_weights=None,
     abort_fn=None,
     progress_fn=None,
@@ -102,7 +116,7 @@ def training_loop(
     trainer = Trainer(loss, g_lr=g_lr, d_lr=d_lr,
                       g_reg_interval=g_reg_interval,
                       d_reg_interval=d_reg_interval, mesh=mesh,
-                      grad_accum_rounds=rounds)
+                      grad_accum_rounds=rounds, jit_phases=jit_phases)
 
     # State init / resume.
     state = trainer.init_state(jax.random.PRNGKey(random_seed))
@@ -121,6 +135,16 @@ def training_loop(
                     except (KeyError, ValueError):
                         # fuzzy partial init for architecture mismatches
                         state[key] = copy_params_fuzzy(modules[name], state[key])
+        elif resume_partial:
+            # cross-architecture fine-tune (e.g. the reference's edge2car
+            # recipe, `train_scripts/shapenet_edge.sh`, which resumes a
+            # pretrained EG3D pkl): copy every name+shape-matched leaf of
+            # the network trees, skip the rest (incl. the optimizer state)
+            src, _ = load_checkpoint(resume_path)
+            for key in ("G", "D", "G_ema", "D_semantic"):
+                if key in src and key in state:
+                    state[key] = copy_params_fuzzy(src[key], state[key],
+                                                   verbose=True)
         else:
             state, step = load_checkpoint(resume_path, state)
             if step is not None:
@@ -192,10 +216,31 @@ def training_loop(
 
         t_step = time.time()
         watchdog_deadline[0] = t_step + step_timeout_sec
-        state, stats = trainer.step(state, batch_dev, gen_z, gen_c, k_step,
-                                    step_idx=step_idx, cur_nimg=cur_nimg,
-                                    batch_size=batch_size, ema_kimg=ema_kimg,
-                                    ema_rampup=ema_rampup, aug_p=augment_p)
+        # The remote compile helper on this image intermittently SIGKILLs
+        # big (512^2-scale) compiles under load, surfacing as a
+        # JaxRuntimeError mentioning remote_compile.  Successful compiles
+        # ARE cached helper-side, so retrying makes monotonic progress
+        # (each attempt re-hits every cached program and only pays for the
+        # one that failed).  Genuine compile errors (OOM analysis, lowering
+        # bugs) are not transient — re-raise after the retry budget.
+        for attempt in range(4):
+            try:
+                state, stats = trainer.step(
+                    state, batch_dev, gen_z, gen_c, k_step,
+                    step_idx=step_idx, cur_nimg=cur_nimg,
+                    batch_size=batch_size, ema_kimg=ema_kimg,
+                    ema_rampup=ema_rampup, aug_p=augment_p)
+                break
+            except jax.errors.JaxRuntimeError as e:
+                transient = "remote_compile" in str(e) and (
+                    "SIGKILL" in str(e) or "exit code" in str(e))
+                if not transient or attempt == 3:
+                    raise
+                print(f"step {step_idx}: remote compile helper died "
+                      f"(attempt {attempt + 1}/4), retrying in 60s",
+                      flush=True)
+                time.sleep(60)
+                watchdog_deadline[0] = time.time() + step_timeout_sec
         collector.update(dict(stats))  # ONE device->host fetch (FlatStats)
         watchdog_deadline[0] = None
         dt_step = time.time() - t_step
@@ -253,9 +298,22 @@ def training_loop(
         # armed through them too.
         watchdog_deadline[0] = time.time() + step_timeout_sec
         if image_snapshot_ticks is not None and tick % image_snapshot_ticks == 0:
-            _save_fakes(G, state["G_ema"], grid_z, grid_batch, grid_n, run_dir,
-                        cur_nimg, dataset.data_type, tb_writer=tb_writer,
-                        wandb_sink=wandb_sink)
+            fakes = _save_fakes(G, state["G_ema"], grid_z, grid_batch, grid_n,
+                                run_dir, cur_nimg, dataset.data_type,
+                                tb_writer=tb_writer, wandb_sink=wandb_sink)
+            try:
+                fd = _fd_trend_real_fake(grid_batch["image"][:grid_n], fakes)
+                with open(os.path.join(run_dir, "quality.jsonl"), "a") as qf:
+                    qf.write(json.dumps(
+                        {"kimg": kimg, "fd_proxy_real_fake": fd}) + "\n")
+                tb_writer.add_scalars(
+                    {"Metrics/fd_proxy_real_fake": fd}, step=cur_nimg)
+                print(f"fd_proxy_real_fake {fd:.4g}", flush=True)
+            except Exception as e:  # trend is best-effort; never kill a run
+                print(f"fd trend skipped: {e}", flush=True)
+        # re-arm per device-touching operation: a legitimate cold snapshot
+        # compile (~20 min) plus a multi-GB save must not share one deadline
+        watchdog_deadline[0] = time.time() + step_timeout_sec
         if snapshot_ticks is not None and tick % snapshot_ticks == 0:
             save_checkpoint(
                 os.path.join(run_dir, f"network-snapshot-{cur_nimg//1000:06d}.ckpt"),
@@ -350,6 +408,34 @@ def _save_fakes(G, params_ema, grid_z, grid_batch, grid_n, run_dir, cur_nimg,
     mv_grid = np.concatenate(views, axis=0)  # [n_yaws * n_mv, H, W, 3]
     save_image_grid(mv_grid, os.path.join(run_dir, f"fakes{tag}_mv.png"),
                     grid_cols=n_mv)
+    return np.asarray(out["image"])  # SR fakes in [-1, 1], for the fd trend
+
+
+# Per-run cache for the real-vs-fake feature-distance trend: the detector
+# and the (fixed) real-grid features are computed once per process.
+_FD_TREND_CACHE = {}
+
+
+def _fd_trend_real_fake(reals, fakes):
+    """Frechet feature distance between the fixed real snapshot grid and
+    this snapshot's generated fakes (both [n, H, W, 3] in [-1, 1]) under
+    the offline detector (real Inception when PIX2PIX3D_INCEPTION_NPZ is
+    set, else the documented fixed-seed random-conv proxy).  Grid-sized n
+    makes the absolute value noisy; the signal is the DECREASING TREND
+    across a run — the first real-vs-fake (not pipeline-vs-pipeline)
+    generative-quality measurement (ref FID semantics,
+    `metrics/frechet_inception_distance.py:22-43`)."""
+    from ..metrics.metric_utils import get_feature_extractor
+    from ..metrics.frechet_inception_distance import frechet_lowrank
+    to_u8 = lambda x: np.clip((np.asarray(x) + 1) * 127.5, 0, 255) \
+        .astype(np.float32)
+    if "detector" not in _FD_TREND_CACHE:
+        _FD_TREND_CACHE["detector"] = get_feature_extractor()
+    det = _FD_TREND_CACHE["detector"]
+    if "real_feats" not in _FD_TREND_CACHE:
+        _FD_TREND_CACHE["real_feats"] = np.asarray(det(to_u8(reals)))
+    fake_feats = np.asarray(det(to_u8(fakes)))
+    return frechet_lowrank(_FD_TREND_CACHE["real_feats"], fake_feats)
 
 
 def _to_grid(images):

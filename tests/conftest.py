@@ -31,7 +31,10 @@ if not os.environ.get("PIX2PIX3D_NO_COMPILE_CACHE"):
     os.makedirs("/root/.cache/jax_test_cache", exist_ok=True)
     jax.config.update("jax_compilation_cache_dir",
                       "/root/.cache/jax_test_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    # 1s threshold: the fast tier compiles hundreds of small programs on
+    # this single core; at the old 5s floor they recompiled every run
+    # (~30 min "warm" tiers, VERDICT r4 weak #8).  Disk is cheap here.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 
 def pytest_report_header(config):

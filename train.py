@@ -42,6 +42,15 @@ def main():
     p.add_argument("--p", type=float, default=0.2)
     p.add_argument("--mirror", type=parse_bool, default=False)
     p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--jit_phases", type=parse_bool, default=False,
+                   help="compile one program per training phase instead of"
+                        " the monolithic step (~6x smaller programs; use"
+                        " when the monolith overwhelms the compiler, e.g."
+                        " 512^2 with several grad-accumulation rounds)")
+    p.add_argument("--resume_partial", type=parse_bool, default=False,
+                   help="fuzzy name+shape-matched partial init from --resume"
+                        " (cross-architecture fine-tune; the reference's"
+                        " EG3D-resume semantics, training_loop.py:311-321)")
     # Hyperparameters
     p.add_argument("--cbase", type=int, default=32768)
     p.add_argument("--cmax", type=int, default=512)
@@ -220,6 +229,8 @@ def main():
         total_kimg=args.kimg, kimg_per_tick=args.tick,
         snapshot_ticks=args.snap, image_snapshot_ticks=args.snap,
         random_seed=args.seed, resume_path=args.resume,
+        resume_partial=args.resume_partial,
+        jit_phases=args.jit_phases,
         lpips_weights=args.lpips_weights,
     )
 
