@@ -56,6 +56,19 @@ fi
 [ -n "$CKPT512" ] && step export_512 900 python scripts/export_ema.py \
     "$CKPT512" docs/ckpts_r5/seg2cat512_r5_ema.ckpt
 
+# ---- C. chunk-grid A/B + roofline (VERDICT #2) ----------------------------
+# (runs BEFORE the gate matrix: the A/B result may need kernel iteration,
+#  so get the data early in the round)
+step bench_slab 2700 python bench.py --skip-parity
+step bench_chunk 2700 python bench.py --skip-parity --chunk-grid
+step bench_semsrf32 2700 python bench.py --skip-parity --sem-sr-f32
+step bench_gfp16_semsrf32 2700 python bench.py --skip-parity --sem-sr-f32 \
+    --g-fp16 7
+step bench_combo 2700 python bench.py --skip-parity --sem-sr-f32 \
+    --g-fp16 7 --chunk-grid
+step cost_analysis 2700 bash -c \
+    "python scripts/cost_analysis.py | tee docs/cost_analysis_r5.txt"
+
 # ---- B. serving-gate precision-attribution matrix (VERDICT #1) ------------
 GCACHE=/tmp/gather_cache_r5.npz
 if [ -n "$CKPT" ]; then
@@ -83,17 +96,6 @@ if [ -n "$CKPT" ]; then
         python scripts/eval_frustum_quality.py "$CKPT" 64 \
         docs/frustum_quality_r5_tpu_gfp16_semsrf32.json
 fi
-
-# ---- C. chunk-grid A/B + roofline (VERDICT #2) ----------------------------
-step bench_slab 2700 python bench.py --skip-parity
-step bench_chunk 2700 python bench.py --skip-parity --chunk-grid
-step bench_semsrf32 2700 python bench.py --skip-parity --sem-sr-f32
-step bench_gfp16_semsrf32 2700 python bench.py --skip-parity --sem-sr-f32 \
-    --g-fp16 7
-step bench_combo 2700 python bench.py --skip-parity --sem-sr-f32 \
-    --g-fp16 7 --chunk-grid
-step cost_analysis 2700 bash -c \
-    "python scripts/cost_analysis.py | tee docs/cost_analysis_r5.txt"
 
 # ---- D. gather fine-tune + gather-trained gate (VERDICT #4) ---------------
 if [ -n "$CKPT" ]; then
