@@ -39,7 +39,8 @@ ROUNDS = 5  # timed rounds; report median (first round in a fresh process
 
 def bench_config(sampler, decoder_impl, batch, iters=ITERS, g_fp16=0,
                  frustum_window=None, frustum_tiles=None, dual_sr=False,
-                 depth_steps=96, chunk_grid=False, sem_sr_f32=False):
+                 depth_steps=96, chunk_grid=False, sem_sr_f32=False,
+                 sem_sr_prec=None, carry_f32=False):
     """Build the flagship seg2cat generator in the given sampler config and
     return measured images/sec on the current default device.
 
@@ -84,8 +85,17 @@ def bench_config(sampler, decoder_impl, batch, iters=ITERS, g_fp16=0,
     if sem_sr_f32:
         # semantic SR stack at f32 tensors + HIGHEST (the round-5 targeted
         # quality fix: the mIoU gate reads this stack's argmax, where bf16
-        # rounding flips near-tie class boundaries — docs/SERVING.md)
+        # rounding flips near-tie class boundaries — docs/SERVING.md).
+        # Measured -37% (63.4 -> 39.9 img/s); see sem_sr_prec for the
+        # graded cheaper levels.
         G.rendering_kwargs["sr_sem_f32"] = True
+    if sem_sr_prec:
+        # graded semantic-SR precision: f32 TENSORS + default|high|highest
+        # matmul passes (ops/precision._LEVELS)
+        G.rendering_kwargs["sr_sem_precision"] = sem_sr_prec
+    if carry_f32:
+        # f32 colors through the fused kernel's composite carry (near-free)
+        G.rendering_kwargs["fused_carry_f32"] = True
     params = G.init(jax.random.PRNGKey(0))
 
     rng = np.random.RandomState(0)
@@ -145,6 +155,11 @@ def main():
     dual_sr = "--dual-sr" in sys.argv
     chunk_grid = "--chunk-grid" in sys.argv
     sem_sr_f32 = "--sem-sr-f32" in sys.argv
+    # --sem-sr-prec default|high|highest: graded semantic-SR precision
+    # (f32 tensors + that many bf16 matmul passes; see ops/precision)
+    sem_sr_prec = sys.argv[sys.argv.index("--sem-sr-prec") + 1] \
+        if "--sem-sr-prec" in sys.argv else None
+    carry_f32 = "--carry-f32" in sys.argv
     # --depth N: frustum slab count (default 96, matching the reference's
     # 48+48 sample count; fewer slabs = coarser depth quadrature — a
     # serving knob that must re-pass the quality gates before defaulting)
@@ -201,7 +216,8 @@ def main():
                      frustum_window=frustum_window,
                      frustum_tiles=frustum_tiles, dual_sr=dual_sr,
                      depth_steps=depth_steps, chunk_grid=chunk_grid,
-                     sem_sr_f32=sem_sr_f32)
+                     sem_sr_f32=sem_sr_f32, sem_sr_prec=sem_sr_prec,
+                     carry_f32=carry_f32)
     out = {
         "metric": "seg2cat_512px_inference",
         "value": round(r["median"], 3),
@@ -212,7 +228,8 @@ def main():
                    "batch": batch, "window": window_name, "g_fp16": g_fp16,
                    "dual_sr": dual_sr, "fast_f32": True,
                    "depth_steps": depth_steps, "chunk": 8,
-                   "sem_sr_f32": sem_sr_f32,
+                   "sem_sr_f32": sem_sr_f32, "sem_sr_prec": sem_sr_prec,
+                   "carry_f32": carry_f32,
                    "fused_grid": "chunk" if chunk_grid else "slab",
                    "rounds": r["rounds"], "iters": r["iters_per_round"]},
     }

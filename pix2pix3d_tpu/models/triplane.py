@@ -429,14 +429,22 @@ class TriPlaneSemanticEntangleGenerator(_TriPlaneBase):
         rgb_image = rgb_feature_image[..., :3]
         semantic_image = semantic_feature_image[..., :self.semantic_channels]
         sr_noise_mode = self.rendering_kwargs["superresolution_noise_mode"]
-        # rendering_kwargs['sr_sem_f32']: run ONLY the semantic SR stack at
-        # f32 tensors + Precision.HIGHEST while the rest of the serving
-        # program keeps the fast bf16 policy — the mIoU quality gate reads
-        # this stack's argmax, where bf16 rounding can flip near-tie class
-        # boundaries (docs/SERVING.md round-4 attribution).  Incompatible
-        # with the dual-SR grouped-conv fast path (the two stacks must run
-        # at different precisions), so it takes priority over dual_sr.
-        sem_f32 = bool(self.rendering_kwargs.get("sr_sem_f32"))
+        # rendering_kwargs['sr_sem_f32'] / ['sr_sem_precision']: run ONLY
+        # the semantic SR stack at f32 TENSORS while the rest of the
+        # serving program keeps the fast bf16 policy — the mIoU quality
+        # gate reads this stack's argmax, where bf16 rounding can flip
+        # near-tie class boundaries (docs/SERVING.md round-4 attribution).
+        # 'sr_sem_precision' grades the f32 matmul cost (ops/precision
+        # ._LEVELS): 'default' (1 bf16 pass — removes only the bf16
+        # ACTIVATION storage), 'high' (bf16x3), 'highest' (bit-close f32;
+        # == the legacy sr_sem_f32 flag, measured -37% on the r5 bench).
+        # Incompatible with the dual-SR grouped-conv fast path (the two
+        # stacks must run at different precisions), so it takes priority
+        # over dual_sr.
+        sem_prec = self.rendering_kwargs.get("sr_sem_precision")
+        if sem_prec is None and self.rendering_kwargs.get("sr_sem_f32"):
+            sem_prec = "highest"
+        sem_f32 = sem_prec is not None
         if (not sem_f32 and self.rendering_kwargs.get("dual_sr")
                 and dual_sr_compatible(
                     self.superresolution, self.superresolution_semantic)):
@@ -454,7 +462,7 @@ class TriPlaneSemanticEntangleGenerator(_TriPlaneBase):
                 params["superresolution"], rgb_image, rgb_feature_image, ws,
                 noise_mode=sr_noise_mode, rng=rngs[2], force_fp32=force_fp32)
             from ..ops import precision as _precision
-            with _precision.precise_scope(sem_f32):
+            with _precision.precise_scope(sem_f32, level=sem_prec or "highest"):
                 sr_semantic = self.superresolution_semantic(
                     params["superresolution_semantic"], semantic_image,
                     semantic_feature_image, ws,

@@ -14,6 +14,21 @@ import contextlib
 import jax
 
 _FAST_F32 = False
+# trace-time override for f32 matmul/conv precision inside precise_scope:
+# None means "no override" (HIGHEST unless fast_f32)
+_F32_OVERRIDE = None
+
+# graded f32 precision levels (TPU MXU decompositions of an f32 matmul):
+#   "default": 1 bf16 pass  (fast; the same compute class as fast_f32, but
+#              the scope's force_fp32 keeps ACTIVATIONS stored in f32)
+#   "high":    3 bf16 passes (~bf16x3, near-f32 products at half the
+#              HIGHEST cost)
+#   "highest": 6 bf16 passes (bit-close to true f32)
+_LEVELS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": None,  # no override; conv_precision falls through to HIGHEST
+}
 
 
 def fast_f32(enable=True):
@@ -23,26 +38,33 @@ def fast_f32(enable=True):
 
 
 @contextlib.contextmanager
-def precise_scope(enable=True):
+def precise_scope(enable=True, level="highest"):
     """Trace-time scope that suspends `fast_f32` so the convs/matmuls
-    traced inside run at `Precision.HIGHEST` even when the global serving
-    policy is bf16-compute.  Used to pin precision-critical submodules
-    (e.g. the semantic SR stack, whose argmax the mIoU quality gate reads)
-    while the rest of the program keeps the fast policy.  No-op when
-    `enable` is False."""
-    global _FAST_F32
-    old = _FAST_F32
+    traced inside run at a pinned f32 precision even when the global
+    serving policy is bf16-compute.  Used to pin precision-critical
+    submodules (e.g. the semantic SR stack, whose argmax the mIoU quality
+    gate reads) while the rest of the program keeps the fast policy.
+
+    `level` grades the cost/accuracy tradeoff for the f32 matmuls inside
+    the scope — see `_LEVELS`.  No-op when `enable` is False."""
+    global _FAST_F32, _F32_OVERRIDE
+    old_fast, old_override = _FAST_F32, _F32_OVERRIDE
     if enable:
         _FAST_F32 = False
+        _F32_OVERRIDE = _LEVELS[level]
     try:
         yield
     finally:
-        _FAST_F32 = old
+        _FAST_F32 = old_fast
+        _F32_OVERRIDE = old_override
 
 
 def conv_precision(dtype):
-    if dtype == jax.numpy.float32 and not _FAST_F32:
-        return jax.lax.Precision.HIGHEST
+    if dtype == jax.numpy.float32:
+        if _F32_OVERRIDE is not None:
+            return _F32_OVERRIDE
+        if not _FAST_F32:
+            return jax.lax.Precision.HIGHEST
     return jax.lax.Precision.DEFAULT
 
 

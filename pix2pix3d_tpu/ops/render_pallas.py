@@ -53,7 +53,8 @@ def fuse_late_separate_params_t(params, lr_mul):
     return w1.T, b1.reshape(-1, 1), w2.T, b2.reshape(-1, 1)
 
 
-def _make_kernel_chunk(T, TC, rgb_sigmoid, sem_sigmoid, compute_dtype):
+def _make_kernel_chunk(T, TC, rgb_sigmoid, sem_sigmoid, compute_dtype,
+                       carry_f32=False):
     """Chunk-blocked variant: one grid step decodes AND composites all TC
     slabs of a chunk (unrolled in-kernel loop over the block's slab dim).
 
@@ -93,7 +94,12 @@ def _make_kernel_chunk(T, TC, rgb_sigmoid, sem_sigmoid, compute_dtype):
                 act = jnp.where(use, clamped, o)
             else:
                 act = o
-            c = act[:64].astype(compute_dtype)               # [64, RT]
+            # carry_f32: keep the per-sample colors f32 through the carry
+            # (act is f32 from the f32-accumulated dots) — removes the
+            # bf16 output-cast quantization of the semantic logits at the
+            # cost of one extra VMEM scratch copy; the MXU work is
+            # identical (rendering_kwargs['fused_carry_f32'])
+            c = act[:64] if carry_f32 else act[:64].astype(compute_dtype)
             s = o[64:65]                                     # [1, RT] f32
             d = t_vals_ref[n, ch * TC + tc] * dnorm_ref[0]   # [1, RT] f32
             return c, s, d
@@ -144,7 +150,8 @@ def _make_kernel_chunk(T, TC, rgb_sigmoid, sem_sigmoid, compute_dtype):
     return kernel
 
 
-def _make_kernel(T, TC, rgb_sigmoid, sem_sigmoid, compute_dtype):
+def _make_kernel(T, TC, rgb_sigmoid, sem_sigmoid, compute_dtype,
+                 carry_f32=False):
     prec = (jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
 
@@ -176,7 +183,8 @@ def _make_kernel(T, TC, rgb_sigmoid, sem_sigmoid, compute_dtype):
             act = jnp.where(use, clamped, o)
         else:
             act = o
-        c = act[:64].astype(compute_dtype)                   # [64, RT]
+        # carry_f32: see _make_kernel_chunk — f32 colors through the carry
+        c = act[:64] if carry_f32 else act[:64].astype(compute_dtype)
         s = o[64:65]                                         # [1, RT] f32
         d = t_vals_ref[n, t_idx] * dnorm_ref[0]              # [1, RT] f32
 
@@ -218,11 +226,13 @@ def _make_kernel(T, TC, rgb_sigmoid, sem_sigmoid, compute_dtype):
 
 @functools.partial(jax.jit, static_argnames=("rgb_sigmoid", "sem_sigmoid",
                                              "ray_tile", "compute_dtype",
-                                             "interpret", "chunk_grid"))
+                                             "interpret", "chunk_grid",
+                                             "carry_f32"))
 def fused_decode_composite(feats, t_vals, dnorm, w1t, b1, w2t, b2,
                            rgb_sigmoid=True, sem_sigmoid=False,
                            ray_tile=4096, compute_dtype=jnp.bfloat16,
-                           interpret=False, chunk_grid=False):
+                           interpret=False, chunk_grid=False,
+                           carry_f32=False):
     """feats [CH, N, TC, 32, R] (chunk-major slab features, channels first),
     t_vals [N, CH*TC] f32 z-depths, dnorm [N, R] f32 direction norms.
 
@@ -232,9 +242,15 @@ def fused_decode_composite(feats, t_vals, dnorm, w1t, b1, w2t, b2,
 
     chunk_grid=True runs one grid step per chunk of TC slabs (see
     `_make_kernel_chunk`); the default False keeps the one-step-per-slab
-    grid.  Opt-in until the chunk variant is validated on real TPU
-    hardware (interpret-mode equivalence only so far) — callers enable it
-    via rendering_kwargs['fused_chunk_grid'] / bench.py --chunk-grid."""
+    grid.  Chip-validated round 5: runs clean on v5e but buys only +0.8%
+    (63.95 vs 63.41 img/s at the headline config) — the per-slab grid was
+    NOT launch-overhead bound; stays opt-in via
+    rendering_kwargs['fused_chunk_grid'] / bench.py --chunk-grid.
+
+    carry_f32=True keeps the per-sample colors (incl. the semantic logits)
+    f32 through the VMEM carry instead of quantizing them to
+    `compute_dtype` — a near-free precision knob for the mIoU quality gate
+    (rendering_kwargs['fused_carry_f32'] / bench.py --carry-f32)."""
     CH, N, TC, C, R = feats.shape
     T = CH * TC
     assert C == 32 and t_vals.shape == (N, T) and dnorm.shape == (N, R)
@@ -244,13 +260,14 @@ def fused_decode_composite(feats, t_vals, dnorm, w1t, b1, w2t, b2,
 
     if chunk_grid:
         kernel = _make_kernel_chunk(T, TC, bool(rgb_sigmoid),
-                                    bool(sem_sigmoid), compute_dtype)
+                                    bool(sem_sigmoid), compute_dtype,
+                                    carry_f32=carry_f32)
         grid = (N, J, CH)
         feats_spec = pl.BlockSpec((1, 1, TC, C, RT),
                                   lambda n, j, ch, *_: (ch, n, 0, 0, j))
     else:
         kernel = _make_kernel(T, TC, bool(rgb_sigmoid), bool(sem_sigmoid),
-                              compute_dtype)
+                              compute_dtype, carry_f32=carry_f32)
         grid = (N, J, CH, TC)
         feats_spec = pl.BlockSpec((1, 1, 1, C, RT),
                                   lambda n, j, ch, tc, *_: (ch, n, tc, 0, j))
@@ -276,7 +293,8 @@ def fused_decode_composite(feats, t_vals, dnorm, w1t, b1, w2t, b2,
                 pl.BlockSpec((1, 1, RT), lambda n, j, *_: (n, 0, j)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((64, RT), compute_dtype),   # prev_c
+                pltpu.VMEM((64, RT),
+                           jnp.float32 if carry_f32 else compute_dtype),  # prev_c
                 pltpu.VMEM((1, RT), jnp.float32),      # prev_s
                 pltpu.VMEM((1, RT), jnp.float32),      # prev_d
                 pltpu.VMEM((1, RT), jnp.float32),      # trans

@@ -566,11 +566,13 @@ def frustum_render(planes, decoder, cam2world, intrinsics, rendering_options,
             sem_sigmoid=sem_sig, compute_dtype=compute_dtype,
             interpret=jax.default_backend() == "cpu",
             # opt-in: one grid step per chunk of slabs (TC x fewer grid
-            # steps; the per-slab grid is launch-overhead bound — see
-            # ops/render_pallas._make_kernel_chunk).  Off until validated
-            # on real TPU hardware; enable via
-            # rendering_kwargs['fused_chunk_grid'] / bench.py --chunk-grid.
-            chunk_grid=bool(opts.get("fused_chunk_grid", False)))
+            # steps).  Chip-validated round 5: +0.8% only — the per-slab
+            # grid was not launch-overhead bound (see
+            # ops/render_pallas._make_kernel_chunk).
+            chunk_grid=bool(opts.get("fused_chunk_grid", False)),
+            # opt-in: f32 colors through the composite carry (near-free
+            # precision knob for the semantic mIoU gate)
+            carry_f32=bool(opts.get("fused_carry_f32", False)))
         acc_rgb = acc_rgb_t.transpose(0, 2, 1)         # [N, r, 64]
         return _finalize(acc_rgb, acc_d, acc_w, t_vals, dnorm, opts)
 

@@ -160,6 +160,15 @@ def main():
                 G.rendering_kwargs["frustum_bf16"] = False
             if os.environ.get("PIX2PIX3D_EVAL_SEM_SR_F32"):
                 G.rendering_kwargs["sr_sem_f32"] = True
+            # graded cheaper variants of SEM_SR_F32 (f32 tensors + 1/3
+            # bf16 matmul passes instead of 6 — ops/precision._LEVELS)
+            if os.environ.get("PIX2PIX3D_EVAL_SEM_SR_PREC"):
+                G.rendering_kwargs["sr_sem_precision"] = \
+                    os.environ["PIX2PIX3D_EVAL_SEM_SR_PREC"]
+            # near-free kernel knob: f32 colors through the fused
+            # composite carry (no bf16 output-cast of semantic logits)
+            if os.environ.get("PIX2PIX3D_EVAL_CARRY_F32"):
+                G.rendering_kwargs["fused_carry_f32"] = True
             if not convs_f32:
                 precision.fast_f32(True)
         print(f"[eval] rendering {n_images} images via {sampler}", flush=True)
@@ -236,6 +245,8 @@ def main():
             "frustum_f32": bool(os.environ.get("PIX2PIX3D_EVAL_FRUSTUM_F32")),
             "convs_f32": bool(os.environ.get("PIX2PIX3D_EVAL_CONVS_F32")),
             "sem_sr_f32": bool(os.environ.get("PIX2PIX3D_EVAL_SEM_SR_F32")),
+            "sem_sr_prec": os.environ.get("PIX2PIX3D_EVAL_SEM_SR_PREC"),
+            "carry_f32": bool(os.environ.get("PIX2PIX3D_EVAL_CARRY_F32")),
             "chunk_grid": bool(os.environ.get("PIX2PIX3D_EVAL_CHUNK_GRID")),
             "dual_sr": bool(os.environ.get("PIX2PIX3D_EVAL_DUAL_SR")),
         },

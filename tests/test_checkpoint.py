@@ -110,3 +110,29 @@ def test_precise_scope_restores_policy():
     finally:
         precision.fast_f32(False)
     assert precision.conv_precision(jnp.float32) == jax.lax.Precision.HIGHEST
+
+
+def test_precise_scope_levels():
+    """precise_scope(level=...) grades the pinned f32 matmul precision
+    (rendering_kwargs['sr_sem_precision']): 'default' removes only the
+    bf16 activation storage, 'high' is bf16x3, 'highest' full f32."""
+    from pix2pix3d_tpu.ops import precision
+    precision.fast_f32(True)
+    try:
+        with precision.precise_scope(True, level="default"):
+            assert precision.conv_precision(jnp.float32) == \
+                jax.lax.Precision.DEFAULT
+        with precision.precise_scope(True, level="high"):
+            assert precision.conv_precision(jnp.float32) == \
+                jax.lax.Precision.HIGH
+            # bf16 tensors never take the override
+            assert precision.conv_precision(jnp.bfloat16) == \
+                jax.lax.Precision.DEFAULT
+        with precision.precise_scope(True, level="highest"):
+            assert precision.conv_precision(jnp.float32) == \
+                jax.lax.Precision.HIGHEST
+        # scope restored: fast policy again
+        assert precision.conv_precision(jnp.float32) == \
+            jax.lax.Precision.DEFAULT
+    finally:
+        precision.fast_f32(False)

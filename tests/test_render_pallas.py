@@ -138,3 +138,46 @@ def test_generator_fused_frustum_path():
         np.testing.assert_allclose(np.asarray(out_fused[key]),
                                    np.asarray(out_plain[key]),
                                    rtol=5e-3, atol=5e-3)
+
+
+@pytest.mark.parametrize("chunk_grid", [False, True])
+def test_carry_f32_matches_baseline(chunk_grid):
+    """carry_f32=True keeps per-sample colors f32 through the composite
+    carry.  At compute_dtype=f32 the cast it removes is a no-op, so the
+    outputs must be identical; at bf16 compute it must stay close to the
+    f32 reference (it removes one of the bf16 quantization sources)."""
+    from pix2pix3d_tpu.models.triplane import OSGDecoderSemanticLateSeparate
+    from pix2pix3d_tpu.ops.render_pallas import (fuse_late_separate_params_t,
+                                                 fused_decode_composite)
+
+    dec = OSGDecoderSemanticLateSeparate(
+        32, {"decoder_output_dim": 32, "decoder_lr_mul": 1.0,
+             "sigmoid": False})
+    dp = dec.init(jax.random.PRNGKey(5))
+    w1t, b1, w2t, b2 = fuse_late_separate_params_t(dp, 1.0)
+
+    T, R, N, C, chunk = 48, 256, 2, 32, 8
+    CH = T // chunk
+    rng = np.random.RandomState(1)
+    feats = jnp.asarray(rng.randn(CH, N, chunk, C, R).astype(np.float32))
+    t_vals = jnp.asarray(
+        np.sort(rng.rand(N, T).astype(np.float32) * 2 + 2, axis=1))
+    dnorm = jnp.asarray(1 + 0.1 * rng.rand(N, R).astype(np.float32))
+
+    kw = dict(rgb_sigmoid=True, sem_sigmoid=False, interpret=True,
+              chunk_grid=chunk_grid)
+    ref = fused_decode_composite(feats, t_vals, dnorm, w1t, b1, w2t, b2,
+                                 compute_dtype=jnp.float32, carry_f32=False,
+                                 **kw)
+    same = fused_decode_composite(feats, t_vals, dnorm, w1t, b1, w2t, b2,
+                                  compute_dtype=jnp.float32, carry_f32=True,
+                                  **kw)
+    for x, y in zip(same, ref):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    bf16_carry = fused_decode_composite(feats, t_vals, dnorm, w1t, b1, w2t,
+                                        b2, compute_dtype=jnp.bfloat16,
+                                        carry_f32=True, **kw)
+    for x, y in zip(bf16_carry, ref):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=0.06, atol=0.06)
