@@ -1,0 +1,144 @@
+#!/bin/bash
+# Round-5 tail chain: runs after chain_r5c is stopped at the gather_ft
+# boundary (/tmp/queue_stop).  Re-runs the 512^2 job UNCONTENDED (its
+# first attempt died because the interactive session ran the fast test
+# tier concurrently and starved the local TPU compile helper — SIGKILL
+# x4), then produces the round-5 precision-arm benches and gate
+# attributions for the new sr_sem_precision / fused_carry_f32 knobs,
+# then the gather-trained gate, then (unless /tmp/skip_edge exists) the
+# edge fine-tune.  CPU-heavy hygiene (fast tier, warm_dryrun) stays in
+# the interactive session, serialized AFTER chip work.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p .logs docs/runs_r5 docs/ckpts_r5
+LOG=.logs/chain_r5e.log
+step() {  # step NAME TIMEOUT_S CMD...
+    local name="$1" to="$2"; shift 2
+    [ -f /tmp/queue_stop_e ] && { echo "=== STOPPED before $name ===" >> "$LOG"; exit 0; }
+    echo "=== [$(date +%H:%M:%S)] $name ===" >> "$LOG"
+    timeout "$to" "$@" >> "$LOG" 2>&1
+    echo "=== [$(date +%H:%M:%S)] $name rc=$?" >> "$LOG"
+}
+ckpt_commit() {  # ckpt_commit MSG PATH...
+    local msg="$1"; shift
+    git add -f "$@" >> "$LOG" 2>&1
+    git commit -m "$msg" -m "No-Verification-Needed: committed artifacts only (checkpoints/stats/plots), no source change" >> "$LOG" 2>&1
+}
+last_ckpt() { ls -t "$1"/network-final.ckpt "$1"/network-snapshot-*.ckpt \
+              2>/dev/null | head -1; }
+new_run_dir() { find .runs -maxdepth 1 -mindepth 1 -type d -newer "$1" | sort | head -1; }
+
+# wait for the r5c chain (and any step it left running) to release the chip
+if [ -n "${WAIT_PID:-}" ]; then
+    while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 15; done
+fi
+sleep 5
+
+# ---- 1. 512^2 retry, uncontended (VERDICT #3) -----------------------------
+MARK512=$(mktemp); touch "$MARK512"
+step train512_retry 16000 env XLA_FLAGS=--xla_disable_hlo_passes=space-to-batch-converter \
+    KIMG=1 bash scripts/run_seg2cat512_sanity.sh \
+    --batch 4 --batch-gpu 2 --jit_phases True --tick 0.125 --snap 4
+RUN512=$(new_run_dir "$MARK512")
+CKPT512=""; [ -n "$RUN512" ] && CKPT512=$(last_ckpt "$RUN512")
+echo "chain_r5e: run512=$RUN512 ckpt512=$CKPT512" >> "$LOG"
+if [ -n "$RUN512" ]; then
+    cp "$RUN512/stats.jsonl" docs/runs_r5/train512_stats.jsonl 2>/dev/null
+    cp "$RUN512/quality.jsonl" docs/runs_r5/train512_quality.jsonl 2>/dev/null
+    for f in "$RUN512"/fakes*.png; do
+        [ -f "$f" ] && cp "$f" "docs/runs_r5/train512_$(basename "$f")"
+    done
+fi
+[ -n "$CKPT512" ] && step export_512 900 python scripts/export_ema.py \
+    "$CKPT512" docs/ckpts_r5/seg2cat512_r5_ema.ckpt
+ckpt_commit "512^2 reference-shape run (uncontended retry): stats, snapshots, EMA checkpoint" \
+    docs/runs_r5 docs/ckpts_r5
+
+# ---- 2. precision-arm benches (round-5 knobs) ------------------------------
+step bench_carryf32 3600 bash -c \
+    "python bench.py --skip-parity --carry-f32 | tee docs/runs_r5/bench_carryf32.json"
+step bench_precdefault 3600 bash -c \
+    "python bench.py --skip-parity --sem-sr-prec default --carry-f32 | tee docs/runs_r5/bench_precdefault_carry.json"
+step bench_prechigh 3600 bash -c \
+    "python bench.py --skip-parity --sem-sr-prec high --carry-f32 | tee docs/runs_r5/bench_prechigh_carry.json"
+ckpt_commit "round 5 precision-arm benches (carry-f32, sem-sr-prec default/high)" \
+    docs/runs_r5
+
+# ---- 3. precision-arm gates (reuse the gather cache) -----------------------
+GCACHE=/tmp/gather_cache_r5.npz
+GATECKPT=docs/ckpts_r5/seg2cat128_r5_ema.ckpt
+if [ -f "$GATECKPT" ]; then
+    step gate_carryf32 5400 env PIX2PIX3D_EVAL_GATHER_CACHE=$GCACHE \
+        PIX2PIX3D_EVAL_CARRY_F32=1 \
+        python scripts/eval_frustum_quality.py "$GATECKPT" 64 \
+        docs/frustum_quality_r5_tpu_carryf32.json
+    step gate_precdefault_carry 3600 env PIX2PIX3D_EVAL_GATHER_CACHE=$GCACHE \
+        PIX2PIX3D_EVAL_CARRY_F32=1 PIX2PIX3D_EVAL_SEM_SR_PREC=default \
+        python scripts/eval_frustum_quality.py "$GATECKPT" 64 \
+        docs/frustum_quality_r5_tpu_precdefault_carry.json
+    step gate_frustumf32 3600 env PIX2PIX3D_EVAL_GATHER_CACHE=$GCACHE \
+        PIX2PIX3D_EVAL_FRUSTUM_F32=1 \
+        python scripts/eval_frustum_quality.py "$GATECKPT" 64 \
+        docs/frustum_quality_r5_tpu_frustumf32.json
+    step gate_prechigh_carry 3600 env PIX2PIX3D_EVAL_GATHER_CACHE=$GCACHE \
+        PIX2PIX3D_EVAL_CARRY_F32=1 PIX2PIX3D_EVAL_SEM_SR_PREC=high \
+        python scripts/eval_frustum_quality.py "$GATECKPT" 64 \
+        docs/frustum_quality_r5_tpu_prechigh_carry.json
+    ckpt_commit "round 5 precision-arm gates (carry-f32, prec default/high, frustum-f32 attribution)" \
+        docs/frustum_quality_r5_tpu_carryf32.json \
+        docs/frustum_quality_r5_tpu_precdefault_carry.json \
+        docs/frustum_quality_r5_tpu_frustumf32.json \
+        docs/frustum_quality_r5_tpu_prechigh_carry.json
+fi
+
+# ---- 4. gather fine-tune + gather-trained gate (VERDICT #4) ---------------
+CKPT=$(last_ckpt .runs/00001-afhq-imgs-batch8-gamma5)
+if [ -n "$CKPT" ]; then
+    MARKG=$(mktemp); touch "$MARKG"
+    step gather_ft 5400 bash scripts/run_seg2cat128_sanity.sh \
+        --resume "$CKPT" --sampler gather --point_chunk 16384 \
+        --kimg 0.125 --tick 0.0625 --snap 2
+    GRUN=$(new_run_dir "$MARKG")
+    GCKPT=""; [ -n "$GRUN" ] && GCKPT=$(last_ckpt "$GRUN")
+    echo "chain_r5e: gather_ft run=$GRUN ckpt=$GCKPT" >> "$LOG"
+    if [ -n "$GCKPT" ]; then
+        step export_gather 900 python scripts/export_ema.py \
+            "$GCKPT" docs/ckpts_r5/seg2cat128_gather_ft_ema.ckpt
+        GFTCKPT=docs/ckpts_r5/seg2cat128_gather_ft_ema.ckpt
+        [ -f "$GFTCKPT" ] || GFTCKPT="$GCKPT"
+        step quality_gather_trained 7200 \
+            python scripts/eval_frustum_quality.py "$GFTCKPT" 32 \
+            docs/frustum_quality_r5_gather_trained.json
+        ckpt_commit "gather-trained frustum gate (VERDICT #4) + gather-ft EMA checkpoint" \
+            docs/frustum_quality_r5_gather_trained.json docs/ckpts_r5
+    fi
+fi
+
+# ---- 5. edge fine-tune (optional; skipped when the clock is short) --------
+if [ -n "$CKPT" ] && [ ! -f /tmp/skip_edge ]; then
+    MARKE=$(mktemp); touch "$MARKE"
+    step edge_ft 7200 bash scripts/run_edge_sanity.sh \
+        --resume "$CKPT" --resume_partial True --kimg 0.5 --tick 0.125 --snap 2
+    ERUN=$(new_run_dir "$MARKE")
+    ECKPT2=""; [ -n "$ERUN" ] && ECKPT2=$(last_ckpt "$ERUN")
+    echo "chain_r5e: edge_ft run=$ERUN ckpt=$ECKPT2" >> "$LOG"
+    if [ -n "$ERUN" ]; then
+        cp "$ERUN/stats.jsonl" docs/runs_r5/edge_ft_stats.jsonl 2>/dev/null
+        cp "$ERUN/quality.jsonl" docs/runs_r5/edge_ft_quality.jsonl 2>/dev/null
+        for f in "$ERUN"/fakes*.png; do
+            [ -f "$f" ] && cp "$f" "docs/runs_r5/edge_ft_$(basename "$f")"
+        done
+    fi
+    if [ -n "$ECKPT2" ]; then
+        step export_edge_ft 900 python scripts/export_ema.py \
+            "$ECKPT2" docs/ckpts_r5/edge2car_ft_r5_ema.ckpt
+        EDGE_IN=$(ls .data/synth_edge/edges/*.png 2>/dev/null | head -1)
+        step edge_samples 3600 python -m pix2pix3d_tpu.apps.generate_samples \
+            --network "$ECKPT2" --cfg edge2car --input "$EDGE_IN" \
+            --outdir docs/samples/trained_apps_r5_edge --random_seed 1 7
+    fi
+    ckpt_commit "edge2car fine-tune (resume_partial, VERDICT #6): stats, samples, EMA checkpoint" \
+        docs/runs_r5 docs/ckpts_r5 docs/samples/trained_apps_r5_edge
+fi
+
+echo "=== [$(date +%H:%M:%S)] chain_r5e DONE ===" >> "$LOG"
