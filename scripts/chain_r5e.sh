@@ -35,31 +35,40 @@ fi
 sleep 5
 
 # ---- 1. 512^2 retry, uncontended (VERDICT #3) -----------------------------
-MARK512=$(mktemp); touch "$MARK512"
-step train512_retry 16000 env XLA_FLAGS=--xla_disable_hlo_passes=space-to-batch-converter \
-    KIMG=1 bash scripts/run_seg2cat512_sanity.sh \
-    --batch 4 --batch-gpu 2 --jit_phases True --tick 0.125 --snap 4
-RUN512=$(new_run_dir "$MARK512")
-CKPT512=""; [ -n "$RUN512" ] && CKPT512=$(last_ckpt "$RUN512")
-echo "chain_r5e: run512=$RUN512 ckpt512=$CKPT512" >> "$LOG"
-if [ -n "$RUN512" ]; then
-    cp "$RUN512/stats.jsonl" docs/runs_r5/train512_stats.jsonl 2>/dev/null
-    cp "$RUN512/quality.jsonl" docs/runs_r5/train512_quality.jsonl 2>/dev/null
-    for f in "$RUN512"/fakes*.png; do
-        [ -f "$f" ] && cp "$f" "docs/runs_r5/train512_$(basename "$f")"
-    done
+# Idempotent: skipped when a non-empty stats file already landed (the first
+# attempt committed an EMPTY file after the compile-helper SIGKILL — -s
+# deliberately treats that as "not done").
+if [ ! -s docs/runs_r5/train512_stats.jsonl ]; then
+    MARK512=$(mktemp); touch "$MARK512"
+    step train512_retry 16000 env XLA_FLAGS=--xla_disable_hlo_passes=space-to-batch-converter \
+        KIMG=1 bash scripts/run_seg2cat512_sanity.sh \
+        --batch 4 --batch-gpu 2 --jit_phases True --tick 0.125 --snap 4
+    RUN512=$(new_run_dir "$MARK512")
+    CKPT512=""; [ -n "$RUN512" ] && CKPT512=$(last_ckpt "$RUN512")
+    echo "chain_r5e: run512=$RUN512 ckpt512=$CKPT512" >> "$LOG"
+    if [ -n "$RUN512" ]; then
+        cp "$RUN512/stats.jsonl" docs/runs_r5/train512_stats.jsonl 2>/dev/null
+        cp "$RUN512/quality.jsonl" docs/runs_r5/train512_quality.jsonl 2>/dev/null
+        for f in "$RUN512"/fakes*.png; do
+            [ -f "$f" ] && cp "$f" "docs/runs_r5/train512_$(basename "$f")"
+        done
+    fi
+    [ -n "$CKPT512" ] && step export_512 900 python scripts/export_ema.py \
+        "$CKPT512" docs/ckpts_r5/seg2cat512_r5_ema.ckpt
+    if [ -s docs/runs_r5/train512_stats.jsonl ]; then
+        ckpt_commit "512^2 reference-shape run (uncontended retry): stats, snapshots, EMA checkpoint" \
+            docs/runs_r5 docs/ckpts_r5
+    else
+        echo "chain_r5e: 512^2 retry produced no stats; NOT committing" >> "$LOG"
+    fi
 fi
-[ -n "$CKPT512" ] && step export_512 900 python scripts/export_ema.py \
-    "$CKPT512" docs/ckpts_r5/seg2cat512_r5_ema.ckpt
-ckpt_commit "512^2 reference-shape run (uncontended retry): stats, snapshots, EMA checkpoint" \
-    docs/runs_r5 docs/ckpts_r5
 
 # ---- 2. precision-arm benches (round-5 knobs) ------------------------------
-step bench_carryf32 3600 bash -c \
+[ -s docs/runs_r5/bench_carryf32.json ] || step bench_carryf32 3600 bash -c \
     "python bench.py --skip-parity --carry-f32 | tee docs/runs_r5/bench_carryf32.json"
-step bench_precdefault 3600 bash -c \
+[ -s docs/runs_r5/bench_precdefault_carry.json ] || step bench_precdefault 3600 bash -c \
     "python bench.py --skip-parity --sem-sr-prec default --carry-f32 | tee docs/runs_r5/bench_precdefault_carry.json"
-step bench_prechigh 3600 bash -c \
+[ -s docs/runs_r5/bench_prechigh_carry.json ] || step bench_prechigh 3600 bash -c \
     "python bench.py --skip-parity --sem-sr-prec high --carry-f32 | tee docs/runs_r5/bench_prechigh_carry.json"
 ckpt_commit "round 5 precision-arm benches (carry-f32, sem-sr-prec default/high)" \
     docs/runs_r5
@@ -67,19 +76,23 @@ ckpt_commit "round 5 precision-arm benches (carry-f32, sem-sr-prec default/high)
 # ---- 3. precision-arm gates (reuse the gather cache) -----------------------
 GCACHE=/tmp/gather_cache_r5.npz
 GATECKPT=docs/ckpts_r5/seg2cat128_r5_ema.ckpt
-if [ -f "$GATECKPT" ]; then
+if [ -f "$GATECKPT" ] && [ ! -f /tmp/skip_prec_gates ]; then
+    [ -f docs/frustum_quality_r5_tpu_carryf32.json ] || \
     step gate_carryf32 5400 env PIX2PIX3D_EVAL_GATHER_CACHE=$GCACHE \
         PIX2PIX3D_EVAL_CARRY_F32=1 \
         python scripts/eval_frustum_quality.py "$GATECKPT" 64 \
         docs/frustum_quality_r5_tpu_carryf32.json
+    [ -f docs/frustum_quality_r5_tpu_precdefault_carry.json ] || \
     step gate_precdefault_carry 3600 env PIX2PIX3D_EVAL_GATHER_CACHE=$GCACHE \
         PIX2PIX3D_EVAL_CARRY_F32=1 PIX2PIX3D_EVAL_SEM_SR_PREC=default \
         python scripts/eval_frustum_quality.py "$GATECKPT" 64 \
         docs/frustum_quality_r5_tpu_precdefault_carry.json
+    [ -f docs/frustum_quality_r5_tpu_frustumf32.json ] || \
     step gate_frustumf32 3600 env PIX2PIX3D_EVAL_GATHER_CACHE=$GCACHE \
         PIX2PIX3D_EVAL_FRUSTUM_F32=1 \
         python scripts/eval_frustum_quality.py "$GATECKPT" 64 \
         docs/frustum_quality_r5_tpu_frustumf32.json
+    [ -f docs/frustum_quality_r5_tpu_prechigh_carry.json ] || \
     step gate_prechigh_carry 3600 env PIX2PIX3D_EVAL_GATHER_CACHE=$GCACHE \
         PIX2PIX3D_EVAL_CARRY_F32=1 PIX2PIX3D_EVAL_SEM_SR_PREC=high \
         python scripts/eval_frustum_quality.py "$GATECKPT" 64 \
@@ -93,7 +106,7 @@ fi
 
 # ---- 4. gather fine-tune + gather-trained gate (VERDICT #4) ---------------
 CKPT=$(last_ckpt .runs/00001-afhq-imgs-batch8-gamma5)
-if [ -n "$CKPT" ]; then
+if [ -n "$CKPT" ] && [ ! -f docs/frustum_quality_r5_gather_trained.json ]; then
     MARKG=$(mktemp); touch "$MARKG"
     step gather_ft 5400 bash scripts/run_seg2cat128_sanity.sh \
         --resume "$CKPT" --sampler gather --point_chunk 16384 \
@@ -115,7 +128,7 @@ if [ -n "$CKPT" ]; then
 fi
 
 # ---- 5. edge fine-tune (optional; skipped when the clock is short) --------
-if [ -n "$CKPT" ] && [ ! -f /tmp/skip_edge ]; then
+if [ -n "$CKPT" ] && [ ! -f /tmp/skip_edge ] && [ ! -s docs/runs_r5/edge_ft_stats.jsonl ]; then
     MARKE=$(mktemp); touch "$MARKE"
     step edge_ft 7200 bash scripts/run_edge_sanity.sh \
         --resume "$CKPT" --resume_partial True --kimg 0.5 --tick 0.125 --snap 2
