@@ -103,7 +103,7 @@ def main():
 
     rng = np.random.RandomState(0)
     batch = 4
-    n_images = (n_images // batch) * batch
+    n_images = max(batch, (n_images // batch) * batch)
 
     def render_all(sampler):
         from pix2pix3d_tpu.ops import precision
