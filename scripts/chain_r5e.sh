@@ -1,13 +1,15 @@
 #!/bin/bash
 # Round-5 tail chain: runs after chain_r5c is stopped at the gather_ft
-# boundary (/tmp/queue_stop).  Re-runs the 512^2 job UNCONTENDED (its
-# first attempt died because the interactive session ran the fast test
-# tier concurrently and starved the local TPU compile helper — SIGKILL
-# x4), then produces the round-5 precision-arm benches and gate
-# attributions for the new sr_sem_precision / fused_carry_f32 knobs,
+# boundary (/tmp/queue_stop).  Order: the cheap decision-critical steps
+# first — precision-arm benches + gates for the new sr_sem_precision /
+# fused_carry_f32 knobs (they complete the VERDICT-#1 matrix that picks
+# the round-5 bench default) — then the UNCONTENDED 512^2 retry (its
+# first attempt died when the fast test tier starved the TPU compile
+# helper — SIGKILL x4; even a clipped retry lands its per-tick stats),
 # then the gather-trained gate, then (unless /tmp/skip_edge exists) the
-# edge fine-tune.  CPU-heavy hygiene (fast tier, warm_dryrun) stays in
-# the interactive session, serialized AFTER chip work.
+# edge fine-tune.  Every block is idempotent: a stop/relaunch skips
+# landed artifacts.  CPU-heavy hygiene (fast tier, warm_dryrun) stays in
+# the interactive session, serialized against the chip's compile windows.
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p .logs docs/runs_r5 docs/ckpts_r5
@@ -33,35 +35,6 @@ if [ -n "${WAIT_PID:-}" ]; then
     while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 15; done
 fi
 sleep 5
-
-# ---- 1. 512^2 retry, uncontended (VERDICT #3) -----------------------------
-# Idempotent: skipped when a non-empty stats file already landed (the first
-# attempt committed an EMPTY file after the compile-helper SIGKILL — -s
-# deliberately treats that as "not done").
-if [ ! -s docs/runs_r5/train512_stats.jsonl ]; then
-    MARK512=$(mktemp); touch "$MARK512"
-    step train512_retry 16000 env XLA_FLAGS=--xla_disable_hlo_passes=space-to-batch-converter \
-        KIMG=1 bash scripts/run_seg2cat512_sanity.sh \
-        --batch 4 --batch-gpu 2 --jit_phases True --tick 0.125 --snap 4
-    RUN512=$(new_run_dir "$MARK512")
-    CKPT512=""; [ -n "$RUN512" ] && CKPT512=$(last_ckpt "$RUN512")
-    echo "chain_r5e: run512=$RUN512 ckpt512=$CKPT512" >> "$LOG"
-    if [ -n "$RUN512" ]; then
-        cp "$RUN512/stats.jsonl" docs/runs_r5/train512_stats.jsonl 2>/dev/null
-        cp "$RUN512/quality.jsonl" docs/runs_r5/train512_quality.jsonl 2>/dev/null
-        for f in "$RUN512"/fakes*.png; do
-            [ -f "$f" ] && cp "$f" "docs/runs_r5/train512_$(basename "$f")"
-        done
-    fi
-    [ -n "$CKPT512" ] && step export_512 900 python scripts/export_ema.py \
-        "$CKPT512" docs/ckpts_r5/seg2cat512_r5_ema.ckpt
-    if [ -s docs/runs_r5/train512_stats.jsonl ]; then
-        ckpt_commit "512^2 reference-shape run (uncontended retry): stats, snapshots, EMA checkpoint" \
-            docs/runs_r5 docs/ckpts_r5
-    else
-        echo "chain_r5e: 512^2 retry produced no stats; NOT committing" >> "$LOG"
-    fi
-fi
 
 # ---- 2. precision-arm benches (round-5 knobs) ------------------------------
 [ -s docs/runs_r5/bench_carryf32.json ] || step bench_carryf32 3600 bash -c \
@@ -102,6 +75,35 @@ if [ -f "$GATECKPT" ] && [ ! -f /tmp/skip_prec_gates ]; then
         docs/frustum_quality_r5_tpu_precdefault_carry.json \
         docs/frustum_quality_r5_tpu_frustumf32.json \
         docs/frustum_quality_r5_tpu_prechigh_carry.json
+fi
+
+# ---- 1. 512^2 retry, uncontended (VERDICT #3) -----------------------------
+# Idempotent: skipped when a non-empty stats file already landed (the first
+# attempt committed an EMPTY file after the compile-helper SIGKILL — -s
+# deliberately treats that as "not done").
+if [ ! -s docs/runs_r5/train512_stats.jsonl ]; then
+    MARK512=$(mktemp); touch "$MARK512"
+    step train512_retry 16000 env XLA_FLAGS=--xla_disable_hlo_passes=space-to-batch-converter \
+        KIMG=1 bash scripts/run_seg2cat512_sanity.sh \
+        --batch 4 --batch-gpu 2 --jit_phases True --tick 0.125 --snap 4
+    RUN512=$(new_run_dir "$MARK512")
+    CKPT512=""; [ -n "$RUN512" ] && CKPT512=$(last_ckpt "$RUN512")
+    echo "chain_r5e: run512=$RUN512 ckpt512=$CKPT512" >> "$LOG"
+    if [ -n "$RUN512" ]; then
+        cp "$RUN512/stats.jsonl" docs/runs_r5/train512_stats.jsonl 2>/dev/null
+        cp "$RUN512/quality.jsonl" docs/runs_r5/train512_quality.jsonl 2>/dev/null
+        for f in "$RUN512"/fakes*.png; do
+            [ -f "$f" ] && cp "$f" "docs/runs_r5/train512_$(basename "$f")"
+        done
+    fi
+    [ -n "$CKPT512" ] && step export_512 900 python scripts/export_ema.py \
+        "$CKPT512" docs/ckpts_r5/seg2cat512_r5_ema.ckpt
+    if [ -s docs/runs_r5/train512_stats.jsonl ]; then
+        ckpt_commit "512^2 reference-shape run (uncontended retry): stats, snapshots, EMA checkpoint" \
+            docs/runs_r5 docs/ckpts_r5
+    else
+        echo "chain_r5e: 512^2 retry produced no stats; NOT committing" >> "$LOG"
+    fi
 fi
 
 # ---- 4. gather fine-tune + gather-trained gate (VERDICT #4) ---------------
