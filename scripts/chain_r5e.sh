@@ -43,7 +43,12 @@ sleep 5
     "python bench.py --skip-parity --sem-sr-prec default --carry-f32 | tee docs/runs_r5/bench_precdefault_carry.json"
 [ -s docs/runs_r5/bench_prechigh_carry.json ] || step bench_prechigh 3600 bash -c \
     "python bench.py --skip-parity --sem-sr-prec high --carry-f32 | tee docs/runs_r5/bench_prechigh_carry.json"
-ckpt_commit "round 5 precision-arm benches (carry-f32, sem-sr-prec default/high)" \
+# candidate max config: every gate-passing-eligible throughput lever at once
+# (r4 evidence: g_fp16 +6%, depth-64 mIoU-neutral; the precision arms above
+# attribute the semantic fix separately)
+[ -s docs/runs_r5/bench_maxcfg.json ] || step bench_maxcfg 3600 bash -c \
+    "python bench.py --skip-parity --g-fp16 7 --depth 64 --carry-f32 --sem-sr-prec default | tee docs/runs_r5/bench_maxcfg.json"
+ckpt_commit "round 5 precision-arm benches (carry-f32, sem-sr-prec default/high, max-config combo)" \
     docs/runs_r5
 
 # ---- 3. precision-arm gates (reuse the gather cache) -----------------------
@@ -70,11 +75,18 @@ if [ -f "$GATECKPT" ] && [ ! -f /tmp/skip_prec_gates ]; then
         PIX2PIX3D_EVAL_CARRY_F32=1 PIX2PIX3D_EVAL_SEM_SR_PREC=high \
         python scripts/eval_frustum_quality.py "$GATECKPT" 64 \
         docs/frustum_quality_r5_tpu_prechigh_carry.json
-    ckpt_commit "round 5 precision-arm gates (carry-f32, prec default/high, frustum-f32 attribution)" \
+    [ -f docs/frustum_quality_r5_tpu_maxcfg.json ] || \
+    step gate_maxcfg 3600 env PIX2PIX3D_EVAL_GATHER_CACHE=$GCACHE \
+        PIX2PIX3D_EVAL_GFP16=7 PIX2PIX3D_EVAL_DEPTH=64 \
+        PIX2PIX3D_EVAL_CARRY_F32=1 PIX2PIX3D_EVAL_SEM_SR_PREC=default \
+        python scripts/eval_frustum_quality.py "$GATECKPT" 64 \
+        docs/frustum_quality_r5_tpu_maxcfg.json
+    ckpt_commit "round 5 precision-arm gates (carry-f32, prec default/high, frustum-f32, max-config)" \
         docs/frustum_quality_r5_tpu_carryf32.json \
         docs/frustum_quality_r5_tpu_precdefault_carry.json \
         docs/frustum_quality_r5_tpu_frustumf32.json \
-        docs/frustum_quality_r5_tpu_prechigh_carry.json
+        docs/frustum_quality_r5_tpu_prechigh_carry.json \
+        docs/frustum_quality_r5_tpu_maxcfg.json
 fi
 
 # ---- 1. 512^2 retry, uncontended (VERDICT #3) -----------------------------
