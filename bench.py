@@ -23,6 +23,7 @@ headline batch.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -168,6 +169,29 @@ def main():
     # --window chunk|full|tiles: override the contraction-window spec for
     # A/B runs (default: frustum_render's auto-selection, currently the
     # single chunk window on the seg2cat geometry).
+    # Serving-default overlay (docs/serving_default.json, written by
+    # scripts/pick_serving_default.py = the fastest config whose TPU
+    # quality gate passes).  It supplies the DEFAULT for any knob whose
+    # CLI flag is absent; explicit flags (and --no-default-overlay) win,
+    # so A/B runs stay meaningful relative to the shipped default.
+    overlay_arm = None
+    ov_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "docs", "serving_default.json")
+    if os.path.exists(ov_path) and "--no-default-overlay" not in sys.argv:
+        ov = json.load(open(ov_path))
+        o = ov.get("config", {})
+        overlay_arm = ov.get("chosen_arm")
+        if "--g-fp16" not in sys.argv:
+            g_fp16 = o.get("g_fp16", g_fp16)
+        if "--depth" not in sys.argv:
+            depth_steps = o.get("depth_steps", depth_steps)
+        if "--carry-f32" not in sys.argv:
+            carry_f32 = o.get("carry_f32", carry_f32)
+        if "--sem-sr-prec" not in sys.argv:
+            sem_sr_prec = o.get("sem_sr_prec", sem_sr_prec)
+        if "--sem-sr-f32" not in sys.argv:
+            sem_sr_f32 = o.get("sem_sr_f32", sem_sr_f32)
+
     frustum_window = frustum_tiles = None
     window_name = "auto"
     if "--window" in sys.argv:
@@ -231,6 +255,7 @@ def main():
                    "sem_sr_f32": sem_sr_f32, "sem_sr_prec": sem_sr_prec,
                    "carry_f32": carry_f32,
                    "fused_grid": "chunk" if chunk_grid else "slab",
+                   "default_overlay": overlay_arm,
                    "rounds": r["rounds"], "iters": r["iters_per_round"]},
     }
     if not skip_parity:

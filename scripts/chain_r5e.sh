@@ -89,6 +89,29 @@ if [ -f "$GATECKPT" ] && [ ! -f /tmp/skip_prec_gates ]; then
         docs/frustum_quality_r5_tpu_maxcfg.json
 fi
 
+# ---- 3b. pick the serving default from the landed matrix (VERDICT #1) -----
+# Fastest arm whose TPU gate accepts -> docs/serving_default.json overlay
+# (bench.py default) + canonical docs/frustum_quality_r5_tpu.json; then one
+# confirmation bench AT that default through the overlay plumbing.
+step pick_default 300 python scripts/pick_serving_default.py
+if [ -f docs/serving_default.json ]; then
+    [ -s docs/runs_r5/bench_default.json ] || step bench_default 3600 bash -c \
+        "python bench.py --skip-parity | tee docs/runs_r5/bench_default.json"
+    ckpt_commit "round 5 serving default picked from the gate matrix; canonical gate JSON + bench at default" \
+        docs/serving_default.json docs/frustum_quality_r5_tpu.json \
+        docs/runs_r5/bench_default.json
+fi
+
+# ---- 3c. CPU hygiene, serialized against the chip (VERDICT #8) ------------
+# The fast tier + the multichip dryrun warm are CPU jobs that starve the
+# TPU compile helper when run concurrently with chip compiles (the 512^2
+# SIGKILL).  Running them as chain steps serializes them by construction;
+# this also re-warms the judge's and the driver's compile caches.
+[ -f /tmp/skip_hygiene ] || step fast_tier 3600 \
+    python -m pytest tests/ -q --ignore=tests/test_train_step.py \
+    --ignore=tests/test_train_loop.py
+[ -f /tmp/skip_hygiene ] || step warm_dryrun 3600 bash scripts/warm_dryrun.sh
+
 # ---- 1. 512^2 retry, uncontended (VERDICT #3) -----------------------------
 # Idempotent: skipped when a non-empty stats file already landed (the first
 # attempt committed an EMPTY file after the compile-helper SIGKILL — -s
