@@ -102,7 +102,29 @@ if [ -f docs/serving_default.json ]; then
         docs/runs_r5/bench_default.json
 fi
 
-# ---- 3c. CPU hygiene, serialized against the chip (VERDICT #8) ------------
+# ---- 3c. gather-trained gate, reusing r5c's fine-tune (VERDICT #4) --------
+# The handoff monitor lost a 3-second race to the gather_ft step boundary:
+# chain_r5c ran the full gather fine-tune, logged its run dir + checkpoint
+# ("chain_r5c: gather_ft run=... ckpt=..."), and only THEN saw queue_stop —
+# so the checkpoint exists in .runs but was never exported or gated.  Reuse
+# it here instead of paying for a second fine-tune.
+if [ ! -f docs/frustum_quality_r5_gather_trained.json ]; then
+    GCKPT_PREV=$(sed -n 's/^chain_r5c: gather_ft run=.* ckpt=//p' \
+                 .logs/chain_r5c.log 2>/dev/null | tail -1)
+    if [ -n "$GCKPT_PREV" ] && [ -f "$GCKPT_PREV" ]; then
+        step export_gather 900 python scripts/export_ema.py \
+            "$GCKPT_PREV" docs/ckpts_r5/seg2cat128_gather_ft_ema.ckpt
+        GFTCKPT=docs/ckpts_r5/seg2cat128_gather_ft_ema.ckpt
+        [ -f "$GFTCKPT" ] || GFTCKPT="$GCKPT_PREV"
+        step quality_gather_trained 7200 \
+            python scripts/eval_frustum_quality.py "$GFTCKPT" 32 \
+            docs/frustum_quality_r5_gather_trained.json
+        ckpt_commit "gather-trained frustum gate (VERDICT #4) + gather-ft EMA checkpoint" \
+            docs/frustum_quality_r5_gather_trained.json docs/ckpts_r5
+    fi
+fi
+
+# ---- 3d. CPU hygiene, serialized against the chip (VERDICT #8) ------------
 # The fast tier + the multichip dryrun warm are CPU jobs that starve the
 # TPU compile helper when run concurrently with chip compiles (the 512^2
 # SIGKILL).  Running them as chain steps serializes them by construction;
@@ -118,7 +140,9 @@ fi
 # deliberately treats that as "not done").
 if [ ! -s docs/runs_r5/train512_stats.jsonl ]; then
     MARK512=$(mktemp); touch "$MARK512"
-    step train512_retry 16000 env XLA_FLAGS=--xla_disable_hlo_passes=space-to-batch-converter \
+    # capped at 3 h (was 16000): the tail still needs the edge fine-tune
+    # before round end, and per-tick stats land even on a clipped run
+    step train512_retry 10800 env XLA_FLAGS=--xla_disable_hlo_passes=space-to-batch-converter \
         KIMG=1 bash scripts/run_seg2cat512_sanity.sh \
         --batch 4 --batch-gpu 2 --jit_phases True --tick 0.125 --snap 4
     RUN512=$(new_run_dir "$MARK512")
