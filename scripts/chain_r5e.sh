@@ -95,8 +95,10 @@ fi
 # confirmation bench AT that default through the overlay plumbing.
 step pick_default 300 python scripts/pick_serving_default.py
 if [ -f docs/serving_default.json ]; then
-    [ -s docs/runs_r5/bench_default.json ] || step bench_default 3600 bash -c \
-        "python bench.py --skip-parity | tee docs/runs_r5/bench_default.json"
+    # no --skip-parity: this is the exact invocation the driver makes for
+    # BENCH_r05, so it also warms the parity-path compile for that run
+    [ -s docs/runs_r5/bench_default.json ] || step bench_default 5400 bash -c \
+        "python bench.py | tee docs/runs_r5/bench_default.json"
     ckpt_commit "round 5 serving default picked from the gate matrix; canonical gate JSON + bench at default" \
         docs/serving_default.json docs/frustum_quality_r5_tpu.json \
         docs/runs_r5/bench_default.json
