@@ -171,9 +171,13 @@ fi
 CKPT=$(last_ckpt .runs/00001-afhq-imgs-batch8-gamma5)
 if [ -n "$CKPT" ] && [ ! -f docs/frustum_quality_r5_gather_trained.json ]; then
     MARKG=$(mktemp); touch "$MARKG"
+    # --jit_phases: r5c's attempt faulted the TPU worker on step 1
+    # ("kernel fault", .logs/chain_r5c.log 22:28-22:37) — the monolithic
+    # 6-phase gather-sampler training program is over the same size cliff
+    # as the round-2 cross-view fault; per-phase programs are ~6x smaller
     step gather_ft 5400 bash scripts/run_seg2cat128_sanity.sh \
         --resume "$CKPT" --sampler gather --point_chunk 16384 \
-        --kimg 0.125 --tick 0.0625 --snap 2
+        --jit_phases True --kimg 0.125 --tick 0.0625 --snap 2
     GRUN=$(new_run_dir "$MARKG")
     GCKPT=""; [ -n "$GRUN" ] && GCKPT=$(last_ckpt "$GRUN")
     echo "chain_r5e: gather_ft run=$GRUN ckpt=$GCKPT" >> "$LOG"
