@@ -1,15 +1,15 @@
 #!/bin/bash
-# Round-5 tail chain: runs after chain_r5c is stopped at the gather_ft
-# boundary (/tmp/queue_stop).  Order: the cheap decision-critical steps
-# first — precision-arm benches + gates for the new sr_sem_precision /
-# fused_carry_f32 knobs (they complete the VERDICT-#1 matrix that picks
-# the round-5 bench default) — then the UNCONTENDED 512^2 retry (its
-# first attempt died when the fast test tier starved the TPU compile
-# helper — SIGKILL x4; even a clipped retry lands its per-tick stats),
-# then the gather-trained gate, then (unless /tmp/skip_edge exists) the
-# edge fine-tune.  Every block is idempotent: a stop/relaunch skips
-# landed artifacts.  CPU-heavy hygiene (fast tier, warm_dryrun) stays in
-# the interactive session, serialized against the chip's compile windows.
+# Round-5 tail chain (take 2 — relaunched mid-round: the first instance ran
+# the pre-fix script from its deleted inode).  Order: the decision-critical
+# precision-arm benches + gates first (they complete the VERDICT-#1 matrix
+# that picks the round-5 bench default), then the default pick + a bench at
+# the exact driver invocation, then the gather-trained gate (VERDICT #4 —
+# retried with per-phase jit after the monolithic gather train program
+# kernel-faulted the v5e worker), then CPU hygiene (fast tier + dryrun
+# cache warm, serialized against the chip by construction), then the
+# UNCONTENDED 512^2 retry (VERDICT #3, capped 3 h), then the edge
+# fine-tune (VERDICT #6).  Every block is idempotent: a stop/relaunch
+# skips landed artifacts.
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p .logs docs/runs_r5 docs/ckpts_r5
@@ -30,13 +30,13 @@ last_ckpt() { ls -t "$1"/network-final.ckpt "$1"/network-snapshot-*.ckpt \
               2>/dev/null | head -1; }
 new_run_dir() { find .runs -maxdepth 1 -mindepth 1 -type d -newer "$1" | sort | head -1; }
 
-# wait for the r5c chain (and any step it left running) to release the chip
+# wait for whatever the previous instance left running on the chip
 if [ -n "${WAIT_PID:-}" ]; then
     while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 15; done
 fi
 sleep 5
 
-# ---- 2. precision-arm benches (round-5 knobs) ------------------------------
+# ---- 1. precision-arm benches (round-5 knobs) ------------------------------
 [ -s docs/runs_r5/bench_carryf32.json ] || step bench_carryf32 3600 bash -c \
     "python bench.py --skip-parity --carry-f32 | tee docs/runs_r5/bench_carryf32.json"
 [ -s docs/runs_r5/bench_precdefault_carry.json ] || step bench_precdefault 3600 bash -c \
@@ -51,7 +51,7 @@ sleep 5
 ckpt_commit "round 5 precision-arm benches (carry-f32, sem-sr-prec default/high, max-config combo)" \
     docs/runs_r5
 
-# ---- 3. precision-arm gates (reuse the gather cache) -----------------------
+# ---- 2. precision-arm gates (reuse the gather cache) -----------------------
 GCACHE=/tmp/gather_cache_r5.npz
 GATECKPT=docs/ckpts_r5/seg2cat128_r5_ema.ckpt
 if [ -f "$GATECKPT" ] && [ ! -f /tmp/skip_prec_gates ]; then
@@ -89,7 +89,7 @@ if [ -f "$GATECKPT" ] && [ ! -f /tmp/skip_prec_gates ]; then
         docs/frustum_quality_r5_tpu_maxcfg.json
 fi
 
-# ---- 3b. pick the serving default from the landed matrix (VERDICT #1) -----
+# ---- 3. pick the serving default from the landed matrix (VERDICT #1) ------
 # Fastest arm whose TPU gate accepts -> docs/serving_default.json overlay
 # (bench.py default) + canonical docs/frustum_quality_r5_tpu.json; then one
 # confirmation bench AT that default through the overlay plumbing.
@@ -104,20 +104,26 @@ if [ -f docs/serving_default.json ]; then
         docs/runs_r5/bench_default.json
 fi
 
-# ---- 3c. gather-trained gate, reusing r5c's fine-tune (VERDICT #4) --------
-# The handoff monitor lost a 3-second race to the gather_ft step boundary:
-# chain_r5c ran the full gather fine-tune, logged its run dir + checkpoint
-# ("chain_r5c: gather_ft run=... ckpt=..."), and only THEN saw queue_stop —
-# so the checkpoint exists in .runs but was never exported or gated.  Reuse
-# it here instead of paying for a second fine-tune.
-if [ ! -f docs/frustum_quality_r5_gather_trained.json ]; then
-    GCKPT_PREV=$(sed -n 's/^chain_r5c: gather_ft run=.* ckpt=//p' \
-                 .logs/chain_r5c.log 2>/dev/null | tail -1)
-    if [ -n "$GCKPT_PREV" ] && [ -f "$GCKPT_PREV" ]; then
+# ---- 4. gather fine-tune + gather-trained gate (VERDICT #4) ---------------
+# r5c's attempt faulted the TPU worker on its first step ("kernel fault",
+# .logs/chain_r5c.log 22:28-22:37): the monolithic 6-phase gather-sampler
+# training program is over the same program-size cliff as the round-2
+# cross-view fault.  Retry with per-phase jit (~6x smaller programs,
+# bit-identical math per test_jit_phases_matches_monolith).
+CKPT=$(last_ckpt .runs/00001-afhq-imgs-batch8-gamma5)
+if [ -n "$CKPT" ] && [ ! -f docs/frustum_quality_r5_gather_trained.json ]; then
+    MARKG=$(mktemp); touch "$MARKG"
+    step gather_ft 5400 bash scripts/run_seg2cat128_sanity.sh \
+        --resume "$CKPT" --sampler gather --point_chunk 16384 \
+        --jit_phases True --kimg 0.125 --tick 0.0625 --snap 2
+    GRUN=$(new_run_dir "$MARKG")
+    GCKPT=""; [ -n "$GRUN" ] && GCKPT=$(last_ckpt "$GRUN")
+    echo "chain_r5e: gather_ft run=$GRUN ckpt=$GCKPT" >> "$LOG"
+    if [ -n "$GCKPT" ]; then
         step export_gather 900 python scripts/export_ema.py \
-            "$GCKPT_PREV" docs/ckpts_r5/seg2cat128_gather_ft_ema.ckpt
+            "$GCKPT" docs/ckpts_r5/seg2cat128_gather_ft_ema.ckpt
         GFTCKPT=docs/ckpts_r5/seg2cat128_gather_ft_ema.ckpt
-        [ -f "$GFTCKPT" ] || GFTCKPT="$GCKPT_PREV"
+        [ -f "$GFTCKPT" ] || GFTCKPT="$GCKPT"
         step quality_gather_trained 7200 \
             python scripts/eval_frustum_quality.py "$GFTCKPT" 32 \
             docs/frustum_quality_r5_gather_trained.json
@@ -126,7 +132,7 @@ if [ ! -f docs/frustum_quality_r5_gather_trained.json ]; then
     fi
 fi
 
-# ---- 3d. CPU hygiene, serialized against the chip (VERDICT #8) ------------
+# ---- 5. CPU hygiene, serialized against the chip (VERDICT #8) --------------
 # The fast tier + the multichip dryrun warm are CPU jobs that starve the
 # TPU compile helper when run concurrently with chip compiles (the 512^2
 # SIGKILL).  Running them as chain steps serializes them by construction;
@@ -136,14 +142,14 @@ fi
     --ignore=tests/test_train_loop.py
 [ -f /tmp/skip_hygiene ] || step warm_dryrun 3600 bash scripts/warm_dryrun.sh
 
-# ---- 1. 512^2 retry, uncontended (VERDICT #3) -----------------------------
+# ---- 6. 512^2 retry, uncontended (VERDICT #3) ------------------------------
 # Idempotent: skipped when a non-empty stats file already landed (the first
 # attempt committed an EMPTY file after the compile-helper SIGKILL — -s
-# deliberately treats that as "not done").
+# deliberately treats that as "not done").  Capped at 3 h: the tail still
+# needs the edge fine-tune before round end, and per-tick stats land even
+# on a clipped run.
 if [ ! -s docs/runs_r5/train512_stats.jsonl ]; then
     MARK512=$(mktemp); touch "$MARK512"
-    # capped at 3 h (was 16000): the tail still needs the edge fine-tune
-    # before round end, and per-tick stats land even on a clipped run
     step train512_retry 10800 env XLA_FLAGS=--xla_disable_hlo_passes=space-to-batch-converter \
         KIMG=1 bash scripts/run_seg2cat512_sanity.sh \
         --batch 4 --batch-gpu 2 --jit_phases True --tick 0.125 --snap 4
@@ -167,38 +173,13 @@ if [ ! -s docs/runs_r5/train512_stats.jsonl ]; then
     fi
 fi
 
-# ---- 4. gather fine-tune + gather-trained gate (VERDICT #4) ---------------
+# ---- 7. edge fine-tune (optional; skipped when the clock is short) ---------
 CKPT=$(last_ckpt .runs/00001-afhq-imgs-batch8-gamma5)
-if [ -n "$CKPT" ] && [ ! -f docs/frustum_quality_r5_gather_trained.json ]; then
-    MARKG=$(mktemp); touch "$MARKG"
-    # --jit_phases: r5c's attempt faulted the TPU worker on step 1
-    # ("kernel fault", .logs/chain_r5c.log 22:28-22:37) — the monolithic
-    # 6-phase gather-sampler training program is over the same size cliff
-    # as the round-2 cross-view fault; per-phase programs are ~6x smaller
-    step gather_ft 5400 bash scripts/run_seg2cat128_sanity.sh \
-        --resume "$CKPT" --sampler gather --point_chunk 16384 \
-        --jit_phases True --kimg 0.125 --tick 0.0625 --snap 2
-    GRUN=$(new_run_dir "$MARKG")
-    GCKPT=""; [ -n "$GRUN" ] && GCKPT=$(last_ckpt "$GRUN")
-    echo "chain_r5e: gather_ft run=$GRUN ckpt=$GCKPT" >> "$LOG"
-    if [ -n "$GCKPT" ]; then
-        step export_gather 900 python scripts/export_ema.py \
-            "$GCKPT" docs/ckpts_r5/seg2cat128_gather_ft_ema.ckpt
-        GFTCKPT=docs/ckpts_r5/seg2cat128_gather_ft_ema.ckpt
-        [ -f "$GFTCKPT" ] || GFTCKPT="$GCKPT"
-        step quality_gather_trained 7200 \
-            python scripts/eval_frustum_quality.py "$GFTCKPT" 32 \
-            docs/frustum_quality_r5_gather_trained.json
-        ckpt_commit "gather-trained frustum gate (VERDICT #4) + gather-ft EMA checkpoint" \
-            docs/frustum_quality_r5_gather_trained.json docs/ckpts_r5
-    fi
-fi
-
-# ---- 5. edge fine-tune (optional; skipped when the clock is short) --------
 if [ -n "$CKPT" ] && [ ! -f /tmp/skip_edge ] && [ ! -s docs/runs_r5/edge_ft_stats.jsonl ]; then
     MARKE=$(mktemp); touch "$MARKE"
     step edge_ft 7200 bash scripts/run_edge_sanity.sh \
-        --resume "$CKPT" --resume_partial True --kimg 0.5 --tick 0.125 --snap 2
+        --resume "$CKPT" --resume_partial True --jit_phases True \
+        --kimg 0.5 --tick 0.125 --snap 2
     ERUN=$(new_run_dir "$MARKE")
     ECKPT2=""; [ -n "$ERUN" ] && ECKPT2=$(last_ckpt "$ERUN")
     echo "chain_r5e: edge_ft run=$ERUN ckpt=$ECKPT2" >> "$LOG"
