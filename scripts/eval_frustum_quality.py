@@ -258,6 +258,11 @@ def main():
         "fd_ratio": fd_cross / max(fd_self, 1e-9),
         "detector": "inception" if os.environ.get("PIX2PIX3D_INCEPTION_NPZ")
                     else "random-conv-proxy",
+        # free-text provenance of the checkpoint under evaluation (how it
+        # was trained/seeded), recorded so gate JSONs stay interpretable
+        # after the training run dirs are wiped
+        "checkpoint_provenance":
+            os.environ.get("PIX2PIX3D_EVAL_PROVENANCE"),
         "accept": {
             "psnr_raw > 20": psnr(raw_g, raw_f) > 20,
             "miou > 0.90": miou(sem_g, sem_f, sem_ch) > 0.90,
