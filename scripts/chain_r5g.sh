@@ -49,8 +49,12 @@ if [ ! -f docs/frustum_quality_r5_gather_trained.json ] && [ -f "$EMA" ]; then
             "$GCKPT" docs/ckpts_r5/seg2cat128_gather_ft_ema.ckpt
         GFT=docs/ckpts_r5/seg2cat128_gather_ft_ema.ckpt
         [ -f "$GFT" ] || GFT="$GCKPT"
+        # gate at the SHIPPED serving default (maxcfg arm,
+        # docs/serving_default.json): g_fp16 7, depth 64, carry-f32
         step quality_gather_trained 5400 env \
-            PIX2PIX3D_EVAL_PROVENANCE="gather-sampler fine-tune (0.125 kimg) seeded G/G_ema from docs/ckpts_r5/seg2cat128_r5_ema.ckpt, D fresh (wipe destroyed full ckpts)" \
+            PIX2PIX3D_EVAL_GFP16=7 PIX2PIX3D_EVAL_DEPTH=64 \
+            PIX2PIX3D_EVAL_CARRY_F32=1 PIX2PIX3D_EVAL_SEM_SR_PREC=default \
+            PIX2PIX3D_EVAL_PROVENANCE="gather-sampler fine-tune (0.125 kimg) seeded G/G_ema from docs/ckpts_r5/seg2cat128_r5_ema.ckpt, D fresh (wipe destroyed full ckpts); gated at the shipped maxcfg serving default" \
             python scripts/eval_frustum_quality.py "$GFT" 32 \
             docs/frustum_quality_r5_gather_trained.json
         [ -f docs/frustum_quality_r5_gather_trained.json ] && ckpt_commit \
