@@ -62,8 +62,8 @@ ARMS = {
 }
 
 
-def load(path):
-    p = os.path.join(ROOT, path)
+def load(path, root=ROOT):
+    p = os.path.join(root, path)
     if not os.path.exists(p):
         return None
     try:
@@ -72,10 +72,10 @@ def load(path):
         return None
 
 
-def main():
+def main(root=ROOT):
     rows = []
     for arm, (bench_p, gate_p, overlay) in ARMS.items():
-        bench, gate = load(bench_p), load(gate_p)
+        bench, gate = load(bench_p, root), load(gate_p, root)
         row = {"arm": arm, "bench": bench_p if bench else None,
                "gate": gate_p if gate else None,
                "img_s": bench["value"] if bench else None,
@@ -102,11 +102,11 @@ def main():
                      "bench + TPU n=64 gate matrix; fastest arm whose gate "
                      "accepts (PSNR>20, mIoU>0.90, fd_ratio<3)",
     }
-    with open(os.path.join(ROOT, "docs/serving_default.json"), "w") as f:
+    with open(os.path.join(root, "docs/serving_default.json"), "w") as f:
         json.dump(out, f, indent=2)
     # canonical gate evidence at the exact default config
-    gate = load(win["gate"])
-    with open(os.path.join(ROOT, "docs/frustum_quality_r5_tpu.json"),
+    gate = load(win["gate"], root)
+    with open(os.path.join(root, "docs/frustum_quality_r5_tpu.json"),
               "w") as f:
         json.dump(dict(gate, canonical_for="docs/serving_default.json",
                        copied_from=win["gate"]), f, indent=2)
