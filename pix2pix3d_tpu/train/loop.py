@@ -298,10 +298,24 @@ def training_loop(
         # armed through them too.
         watchdog_deadline[0] = time.time() + step_timeout_sec
         if image_snapshot_ticks is not None and tick % image_snapshot_ticks == 0:
-            fakes = _save_fakes(G, state["G_ema"], grid_z, grid_batch, grid_n,
-                                run_dir, cur_nimg, dataset.data_type,
-                                tb_writer=tb_writer, wandb_sink=wandb_sink)
+            # Image snapshots are diagnostics; the checkpoint below is the
+            # artifact that costs chip-hours to reproduce.  A failed render
+            # (e.g. RESOURCE_EXHAUSTED: the 512^2 frustum fakes program OOMs
+            # next to the resident train state even at batch 1) must degrade
+            # to a loud skip, not kill the run before the save.  Offline
+            # renders from the saved checkpoint cover the lost images.
             try:
+                fakes = _save_fakes(G, state["G_ema"], grid_z, grid_batch,
+                                    grid_n, run_dir, cur_nimg,
+                                    dataset.data_type, tb_writer=tb_writer,
+                                    wandb_sink=wandb_sink)
+            except Exception as e:
+                fakes = None
+                print(f"image snapshot FAILED (continuing to checkpoint "
+                      f"save): {type(e).__name__}: {e}", flush=True)
+            try:
+                if fakes is None:
+                    raise RuntimeError("no fakes rendered this tick")
                 fd = _fd_trend_real_fake(grid_batch["image"][:grid_n], fakes)
                 with open(os.path.join(run_dir, "quality.jsonl"), "a") as qf:
                     qf.write(json.dumps(
